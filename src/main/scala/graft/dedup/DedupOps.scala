@@ -1,0 +1,89 @@
+package graft.dedup
+
+import graft.text.TextOps
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline. Exact and
+  * normalized dedup are pure hash-aggregates (one shuffle on the hash
+  * key — uniform by construction, no skew). MinHash/SimHash live in
+  * graft.lsh and are wired here as candidate-pair generators.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups: md5(text) -> group size + representative
+    * (min doc_id = deterministic keeper). Scale: shuffle key is a hash,
+    * perfectly uniform; map-side partial agg shrinks each group to one
+    * row per partition. */
+  def exactGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("group_size"),
+        min("doc_id").as("keep_doc_id"))
+
+  /** Documents to drop under exact dedup (all but the min doc_id per
+    * normalized fingerprint). Implemented as a self-contained window-free
+    * aggregate + semi-join back, so it scales without a per-group sort. */
+  def exactDropList(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val keepers = docs.groupBy("fp").agg(min("doc_id").as("keep_doc_id"))
+    docs.join(keepers, Seq("fp"))
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select("doc_id", "keep_doc_id")
+  }
+
+  /** Word n-gram shingle sets per document (distinct), the substrate for
+    * Jaccard similarity / MinHash. Explode is a narrow op; distinct is
+    * the only shuffle. */
+  def wordShingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("toks")) - n, lit(0))),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
+      .filter(size(split(col("shingle"), " ")) === n)
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over word 3-gram shingles, for pairs sharing
+    * at least one shingle; emits pairs with jaccard >= minJaccard.
+    *
+    * Scale notes: the shingle join is the classic "similarity join";
+    * hot shingles (stopword n-grams) are the skew risk, so shingles
+    * occurring in more than `maxDocFreq` docs are dropped (standard
+    * prefix-filter practice — a shingle shared by thousands of docs
+    * carries ~no Jaccard signal but O(df^2) join cost).
+    */
+  def jaccardPairs(spark: SparkSession, sfDir: String,
+      n: Int = 3, minJaccard: Double = 0.25,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val sh = wordShingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq && col("df") >= 2)
+        .select("shingle"),
+      Seq("shingle"))
+    val inter = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+}
