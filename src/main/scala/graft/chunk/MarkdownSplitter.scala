@@ -1,0 +1,107 @@
+package graft.chunk
+
+/** A markdown section emitted by the header splitter. */
+final case class Header(level: Int, name: String)
+final case class Section(content: String, header: Header)
+
+/** Header-based markdown splitter, semantics-equivalent to the
+  * reference MarkdownHeaderTextSplitter
+  * (reference core/file_management/chunker/spliter.py:17-121):
+  *
+  *  - split on configured header prefixes (longest-first match), a
+  *    header line must be the prefix alone or prefix + space;
+  *  - lines are header-matched on their *stripped, printable-filtered*
+  *    form (spliter.py:60-61) but accumulated raw;
+  *  - code-fence awareness: ``` opens only when the stripped line starts
+  *    with ``` and contains exactly one occurrence; ~~~ opens
+  *    unconditionally on prefix; the closing line is NOT treated as
+  *    inside the block (spliter.py:63-77);
+  *  - each flushed section is joined with "\n" and Unicode-stripped;
+  *  - optional fixed-size slicing of section content (spliter.py:43-47);
+  *  - `stripHeaders=false` keeps the stripped header line plus an extra
+  *    "\n" in content (spliter.py:110-111).
+  *
+  * Pure function: used inside Dataset.flatMap — a narrow, deterministic,
+  * order-preserving transform.
+  */
+object MarkdownSplitter {
+
+  /** Python str.isprintable semantics: false for Cc/Cf/Cs/Co/Cn and
+    * Zl/Zp/Zs — except the ASCII space. */
+  def isPrintable(c: Char): Boolean = {
+    if (c == ' ') true
+    else Character.getType(c) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+           Character.PRIVATE_USE | Character.UNASSIGNED |
+           Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+           Character.SPACE_SEPARATOR => false
+      case _ => true
+    }
+  }
+
+  def split(
+      text: String,
+      headersToSplitOn: Seq[String] = Seq("#", "##"),
+      stripHeaders: Boolean = true,
+      chunkSize: Int = 0): Vector[Section] = {
+
+    val seps = headersToSplitOn.sortBy(-_.length)
+    val out = Vector.newBuilder[Section]
+    var content = Vector.empty[String]
+    var header = Header(0, "")
+    var inCode = false
+    var fence = ""
+
+    def slices(s: String): Vector[String] =
+      if (chunkSize <= 0) Vector(s)
+      else s.grouped(chunkSize).toVector
+
+    def flush(): Unit = {
+      if (content.nonEmpty) {
+        val sectionText = content.mkString("\n").strip()
+        slices(sectionText).foreach(c => out += Section(c, header))
+        content = Vector.empty
+      }
+    }
+
+    for (line <- text.split("\n", -1)) {
+      val stripped = line.strip().filter(isPrintable)
+
+      if (!inCode) {
+        if (stripped.startsWith("```") &&
+            countOccurrences(stripped, "```") == 1) {
+          inCode = true; fence = "```"
+        } else if (stripped.startsWith("~~~")) {
+          inCode = true; fence = "~~~"
+        }
+      } else if (stripped.startsWith(fence)) {
+        inCode = false; fence = ""
+      }
+
+      if (inCode) {
+        content :+= line
+      } else {
+        val matched = seps.find(sep =>
+          stripped.startsWith(sep) &&
+            (stripped.length == sep.length || stripped.charAt(sep.length) == ' '))
+        matched match {
+          case Some(sep) =>
+            flush()
+            val level = sep.count(_ == '#')
+            header = Header(level, stripped.drop(sep.length).strip())
+            if (!stripHeaders) content :+= stripped + "\n"
+          case None =>
+            content :+= line
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  private def countOccurrences(s: String, sub: String): Int = {
+    var n = 0; var i = s.indexOf(sub)
+    while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+    n
+  }
+}

@@ -1,0 +1,90 @@
+package graft.extract
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** One gazetteer entity: fires when all evidence substrings occur in the
+  * normalized chunk text. */
+final case class KbEntity(
+    name: String,
+    entityType: String,
+    description: String,
+    evidence: Vector[String]) extends Serializable
+
+/** One distant-supervision triple: fires when all evidence substrings
+  * occur and no forbid substring occurs. Derived from the reference's
+  * golden fixture by tools/build_kb.py (see kb.json header). */
+final case class KbTriple(
+    subj: String,
+    pred: String,
+    obj: String,
+    description: String,
+    evidence: Vector[String],
+    forbid: Vector[String]) extends Serializable
+
+/** The broadcastable extraction dictionary — the deterministic stand-in
+  * for the reference's LLM extraction contract
+  * (reference examples/graph_extract/promt.py:110-166; replacement
+  * rationale in SURVEY.md §7.5). */
+final case class KnowledgeBase(
+    entities: Vector[KbEntity],
+    triples: Vector[KbTriple]) extends Serializable {
+
+  /** All distinct evidence/forbid patterns, for the Aho-Corasick scan. */
+  lazy val patterns: Vector[String] =
+    (entities.flatMap(_.evidence) ++
+      triples.flatMap(t => t.evidence ++ t.forbid)).distinct
+}
+
+object KnowledgeBase {
+
+  /** Text normalization applied before evidence matching (mirrors
+    * tools/build_kb.py `norm`): strip all whitespace, map full-width
+    * parens to ASCII. */
+  def normalize(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        sb += (c match {
+          case '（' => '('
+          case '）' => ')'
+          case other => other
+        })
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Load the committed KB resource. */
+  def load(): KnowledgeBase = loadFrom("/graft/kb.json")
+
+  def loadFrom(resource: String): KnowledgeBase = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"KB resource $resource not found")
+    val root = new ObjectMapper().readTree(in)
+    in.close()
+    def strs(n: JsonNode): Vector[String] =
+      if (n == null) Vector.empty
+      else n.elements().asScala.map(_.asText()).toVector
+    val ents = root.get("entities").elements().asScala.map { e =>
+      KbEntity(
+        e.get("name").asText(),
+        e.get("type").asText(),
+        Option(e.get("description")).map(_.asText()).getOrElse(""),
+        strs(e.get("evidence")).map(normalize))
+    }.toVector
+    val trs = root.get("triples").elements().asScala.map { t =>
+      KbTriple(
+        t.get("subj").asText(),
+        t.get("pred").asText(),
+        t.get("obj").asText(),
+        Option(t.get("description")).map(_.asText()).getOrElse(""),
+        strs(t.get("evidence")).map(normalize),
+        strs(t.get("forbid")).map(normalize))
+    }.toVector
+    KnowledgeBase(ents, trs)
+  }
+}

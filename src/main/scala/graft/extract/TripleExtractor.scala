@@ -1,0 +1,89 @@
+package graft.extract
+
+/** Per-chunk extraction result rows. `chunkId` threads provenance
+  * through the whole DAG (SURVEY.md §1.1). */
+final case class Mention(
+    chunkId: String,
+    url: String,
+    surface: String,
+    entityName: String,
+    entityType: String,
+    entityDescription: String)
+
+final case class Triple(
+    chunkId: String,
+    url: String,
+    subj: String,
+    pred: String,
+    obj: String,
+    description: String)
+
+/** Deterministic mention detection + (subj, pred, obj) triple extraction
+  * over chunk text — the Spark replacement for the reference's LLM
+  * extraction loop (reference
+  * core/file_management/extractor/event_GraphExtractor.py:52-124, see
+  * SURVEY.md §2.3 E1-E7 and §7.5 for the deviation rationale).
+  *
+  * Matching model: the broadcast [[KnowledgeBase]] carries evidence
+  * substring specs; a single Aho-Corasick pass over the normalized chunk
+  * yields the matched-pattern set; an entity fires when all its evidence
+  * patterns matched, a triple when all evidence matched and no forbid
+  * matched. One scan per chunk — O(len) regardless of KB size.
+  *
+  * Post-extraction cleaning mirrors the reference order:
+  *  - kill-list pre-filter on entity names (E5,
+  *    event_GraphExtractor.py:242-312);
+  *  - relation cleaning (E7, event_GraphExtractor.py:315-402): drop
+  *    triples whose endpoints were filtered, self-loops, and pairs whose
+  *    names match case-insensitively;
+  *  - within-chunk dedup keyed like the reference's history merge (E2,
+  *    event_GraphExtractor.py:126-175): entities by name, relations by
+  *    (subj, pred, obj) — order-preserving first-wins.
+  */
+final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
+
+  private val patternIndex: Map[String, Int] =
+    kb.patterns.zipWithIndex.toMap
+
+  @transient private lazy val automaton: AhoCorasick =
+    AhoCorasick(kb.patterns)
+
+  private val entitySpecs: Vector[(KbEntity, Vector[Int])] =
+    kb.entities.map(e => (e, e.evidence.map(patternIndex)))
+
+  private val tripleSpecs: Vector[(KbTriple, Vector[Int], Vector[Int])] =
+    kb.triples.map(t =>
+      (t, t.evidence.map(patternIndex), t.forbid.map(patternIndex)))
+
+  /** Extract mentions + triples from one chunk. */
+  def extract(chunkId: String, url: String, content: String)
+      : (Vector[Mention], Vector[Triple]) = {
+    val normalized = KnowledgeBase.normalize(content)
+    val hits = automaton.matchedIds(normalized)
+
+    // E3 gazetteer pass + E5 kill-list + E2 name-keyed dedup
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    val mentions = Vector.newBuilder[Mention]
+    entitySpecs.foreach { case (e, ids) =>
+      if (ids.nonEmpty && ids.forall(hits) && EntityFilters.keep(e.name) &&
+          seen.add(e.name)) {
+        mentions += Mention(chunkId, url, e.evidence.headOption.getOrElse(e.name),
+          e.name, e.entityType, e.description)
+      }
+    }
+
+    // triples + E7 cleaning + (subj,pred,obj) dedup
+    val seenT = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
+    val triples = Vector.newBuilder[Triple]
+    tripleSpecs.foreach { case (t, ev, fb) =>
+      val fires = ev.nonEmpty && ev.forall(hits) && !fb.exists(hits)
+      if (fires &&
+          EntityFilters.keep(t.subj) && EntityFilters.keep(t.obj) &&
+          !t.subj.equalsIgnoreCase(t.obj) &&
+          seenT.add((t.subj, t.pred, t.obj))) {
+        triples += Triple(chunkId, url, t.subj, t.pred, t.obj, t.description)
+      }
+    }
+    (mentions.result(), triples.result())
+  }
+}

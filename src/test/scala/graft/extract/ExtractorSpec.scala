@@ -1,0 +1,83 @@
+package graft.extract
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The north-rule acceptance gate (BASELINE.md): run the deterministic
+  * extractor over the reference's golden fixture chunks and require
+  * micro-averaged P >= 0.95 AND R >= 0.95 on (subj, pred, obj) triples.
+  */
+class ExtractorSpec extends AnyFunSuite {
+
+  private lazy val fixture = {
+    val in = getClass.getResourceAsStream("/graph_extract_fixture.json")
+    require(in != null, "fixture missing")
+    val root = new ObjectMapper().readTree(in)
+    in.close()
+    root.elements().asScala.toVector
+  }
+
+  private lazy val extractor = new TripleExtractor(KnowledgeBase.load())
+
+  test("golden fixture P/R gate: micro P >= 0.95 and R >= 0.95") {
+    var tp = 0; var fp = 0; var fn = 0
+    fixture.zipWithIndex.foreach { case (item, i) =>
+      val content = item.get("content").asText()
+      val gold = item.get("metadata").get("entity_relations").elements().asScala.map { r =>
+        (r.get("head_id").asText(), r.get("relation_type").asText(), r.get("tail_id").asText())
+      }.toSet
+      val (_, triples) = extractor.extract(s"chunk_$i", s"fixture://$i", content)
+      val got = triples.map(t => (t.subj, t.pred, t.obj)).toSet
+      tp += (gold & got).size
+      fp += (got -- gold).size
+      fn += (gold -- got).size
+      (got -- gold).foreach(x => info(s"FP chunk $i: $x"))
+      (gold -- got).foreach(x => info(s"FN chunk $i: $x"))
+    }
+    val p = tp.toDouble / math.max(tp + fp, 1)
+    val r = tp.toDouble / math.max(tp + fn, 1)
+    info(f"micro P=$p%.4f R=$r%.4f (tp=$tp fp=$fp fn=$fn)")
+    assert(p >= 0.95, s"precision $p below gate")
+    assert(r >= 0.95, s"recall $r below gate")
+  }
+
+  test("held-out chunks (0 and 7) pass in isolation") {
+    // the two structurally hardest chunks (table-heavy QC report, spec
+    // body) evaluated alone — guards against aggregate masking
+    for (i <- Seq(0, 7)) {
+      val item = fixture(i)
+      val gold = item.get("metadata").get("entity_relations").elements().asScala.map { r =>
+        (r.get("head_id").asText(), r.get("relation_type").asText(), r.get("tail_id").asText())
+      }.toSet
+      val (_, triples) = extractor.extract(s"chunk_$i", s"fixture://$i",
+        item.get("content").asText())
+      val got = triples.map(t => (t.subj, t.pred, t.obj)).toSet
+      val p = (gold & got).size.toDouble / math.max(got.size, 1)
+      val r = (gold & got).size.toDouble / math.max(gold.size, 1)
+      assert(p >= 0.95 && r >= 0.95, s"chunk $i P=$p R=$r")
+    }
+  }
+
+  test("mentions fire for gazetteer entities and respect the kill-list") {
+    val (mentions, _) = extractor.extract("c", "u", fixture(0).get("content").asText())
+    assert(mentions.nonEmpty)
+    assert(mentions.forall(m => EntityFilters.keep(m.entityName)))
+    assert(mentions.map(_.entityName).contains("室内机电控板"))
+  }
+
+  test("kill-list port drops the reference's filtered classes") {
+    val dropped = Seq("123", "3.14", "2024年", "昨天", "这个", "我们", "很多",
+      "非常", "但是", "，。", "x", " ", "12, 34")
+    val kept = Seq("室内机电控板", "PCB插座", "TCL空调", "ab")
+    dropped.foreach(n => assert(!EntityFilters.keep(n), s"should drop: '$n'"))
+    kept.foreach(n => assert(EntityFilters.keep(n), s"should keep: '$n'"))
+  }
+
+  test("extraction is deterministic and order-stable") {
+    val c = fixture(5).get("content").asText()
+    val a = extractor.extract("c", "u", c)
+    val b = extractor.extract("c", "u", c)
+    assert(a == b)
+  }
+}
