@@ -1,0 +1,175 @@
+package graft.canon
+
+import graft.embed.{CosineSimilarity, HashingEmbedder}
+import graft.lsh.MinHasher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity canonicalization (SURVEY.md §2.4 G9-G12):
+  *
+  *  1. deterministic name normalization — the stand-in for the LLM
+  *     clean pass (E6): strip decoration suffixes listed in the
+  *     reference clean prompt (promt.py:187-189) and trailing
+  *     punctuation decoration;
+  *  2. G12 lowercase-name pre-merge as a salted two-phase aggregate
+  *     (hot entities produce millions of mentions; the salt bounds
+  *     per-task state, the second phase merges S partials per name);
+  *  3. G9 candidate pairs via MinHash-LSH over char-3-gram shingles of
+  *     the embedding-normalized name (north rule: "connected components
+  *     over a MinHash-LSH candidate-pair graph"), replacing the
+  *     reference's O(n^2) all-pairs cosine (Base_Neo4j.py:508-626);
+  *  4. exact verify: hashing-embedder cosine >= 0.95 on candidates only
+  *     (threshold from Base_Neo4j.py:538), via the codegen'd
+  *     CosineSimilarity expression;
+  *  5. G10 connected components (large-star/small-star);
+  *  6. G11 representative merge: the richest member (most mentions,
+  *     deterministic tie-break on name) names the canonical entity;
+  *     list-properties union with a documented cap (SURVEY.md §7.4#4).
+  */
+object Canonicalizer {
+
+  val MergeThreshold = 0.95
+  val Salts = 16
+  val ListCap = 64
+
+  /** Decoration suffixes from the reference clean prompt. */
+  private val decorations = Seq("装置", "产品", "类型", "某某", "一种")
+
+  def normalizeName(name: String): String = {
+    var t = name.strip()
+    var changed = true
+    while (changed) {
+      changed = false
+      decorations.foreach { d =>
+        if (t.length > d.length + 1 && t.endsWith(d)) {
+          t = t.dropRight(d.length); changed = true
+        }
+      }
+      // trailing decoration punctuation (e.g. "·" alias markers)
+      while (t.length > 2 && "·•:：-—".indexOf(t.last) >= 0) {
+        t = t.dropRight(1); changed = true
+      }
+    }
+    t
+  }
+
+  /** Text embedded for similarity: lowercased name with whitespace and
+    * decoration punctuation removed (so spacing/punct alias variants
+    * embed identically), mirroring the reference's
+    * "{name}: {descriptions}" embed text (Base_Neo4j.py:298). */
+  def embedKey(name: String): String =
+    name.toLowerCase.filterNot(c =>
+      Character.isWhitespace(c) || "·•:：-—_/\\(),.，。()".indexOf(c) >= 0)
+
+  private val normalizeNameUdf = udf(normalizeName _)
+  private val embedUdf = udf((s: String) => HashingEmbedder.embed(embedKey(s)))
+  private val bandsUdf = udf { (s: String) =>
+    // shingle the embedding-normalized form so spacing/punct alias
+    // variants land in identical bands (their embeddings are identical)
+    val k = embedKey(s)
+    val shingles = if (k.length < 3) Set(k) else k.sliding(3).toSet
+    MinHasher.bandKeys(MinHasher.signature(shingles))
+  }
+
+  /** Mentions (entityName, entityType, entityDescription, chunkId) ->
+    * canonical entity table + name->canonical mapping.
+    *
+    * Returns (canonicalEntities, nameMap):
+    *  - canonicalEntities: canonical_id, entity_name, entity_type,
+    *    n_mentions, aliases, descriptions, source_chunks, component_id
+    *  - nameMap: entity_name (raw) -> canonical_id
+    */
+  def canonicalize(mentions: DataFrame): (DataFrame, DataFrame) = {
+    val spark = mentions.sparkSession
+
+    // ---- G12 salted two-phase lowercase merge --------------------------
+    val keyed = mentions
+      .withColumn("norm_name", normalizeNameUdf(col("entityName")))
+      .withColumn("name_key", lower(col("norm_name")))
+      .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(Salts)))
+
+    val partial = keyed
+      .groupBy("name_key", "salt")
+      .agg(
+        count(lit(1)).as("n_mentions"),
+        min("norm_name").as("display_name"),
+        min("entityType").as("entity_type"),
+        slice(sort_array(collect_set("entityName")), 1, ListCap).as("aliases"),
+        slice(sort_array(collect_set("entityDescription")), 1, ListCap).as("descriptions"),
+        slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
+
+    val names = partial
+      .groupBy("name_key")
+      .agg(
+        sum("n_mentions").as("n_mentions"),
+        min("display_name").as("display_name"),
+        min("entity_type").as("entity_type"),
+        slice(sort_array(flatten(collect_set("aliases"))), 1, ListCap).as("aliases"),
+        slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
+        slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
+      .withColumn("embedding", embedUdf(col("display_name")))
+
+    // ---- G9 MinHash-LSH candidates + cosine verify ---------------------
+    val banded = names.select(col("name_key"), col("embedding"),
+        explode(bandsUdf(col("display_name"))).as("band"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.name_key") < col("b.name_key"))
+      .select(col("a.name_key").as("src"), col("b.name_key").as("dst"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .distinct()
+    val verified = candidates
+      .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
+      .filter(col("cos") >= MergeThreshold)
+      .select("src", "dst")
+
+    // ---- G10 connected components --------------------------------------
+    val comps = ConnectedComponents.runWithVertices(
+      verified, names.select(col("name_key").as("id")))
+
+    // ---- G11 representative merge ---------------------------------------
+    val withComp = names.join(
+      comps.withColumnRenamed("id", "name_key"), "name_key")
+    val canonical = withComp
+      .groupBy(col("component").as("canonical_id"))
+      .agg(
+        max_by(col("display_name"), struct(col("n_mentions"), col("name_key"))).as("entity_name"),
+        max_by(col("entity_type"), struct(col("n_mentions"), col("name_key"))).as("entity_type"),
+        sum("n_mentions").as("n_mentions"),
+        count(lit(1)).as("n_merged_names"),
+        slice(sort_array(flatten(collect_set("aliases"))), 1, ListCap).as("aliases"),
+        slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
+        slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
+
+    // raw name -> canonical id (for triple endpoint rewrite)
+    val nameMap = keyed.select(col("entityName"), col("name_key")).distinct()
+      .join(comps.withColumnRenamed("id", "name_key"), "name_key")
+      .select(col("entityName").as("entity_name"), col("component").as("canonical_id"))
+      .distinct()
+
+    (canonical, nameMap)
+  }
+
+  /** G5 semantics: rewrite triple endpoints through the canonical map
+    * (inner joins drop dangling edges like Cypher MATCH), then dedup on
+    * (subj, pred, obj). */
+  def rewriteTriples(triples: DataFrame, nameMap: DataFrame): DataFrame = {
+    val subjMap = nameMap
+      .withColumnRenamed("entity_name", "subj")
+      .withColumnRenamed("canonical_id", "subj_id")
+    val objMap = nameMap
+      .withColumnRenamed("entity_name", "obj")
+      .withColumnRenamed("canonical_id", "obj_id")
+    triples
+      .join(subjMap, "subj")
+      .join(objMap, "obj")
+      .filter(col("subj_id") =!= col("obj_id"))
+      .groupBy("subj_id", "pred", "obj_id")
+      .agg(
+        count(lit(1)).as("n_sources"),
+        min("description").as("description"),
+        slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
+  }
+}

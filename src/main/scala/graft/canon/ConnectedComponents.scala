@@ -1,0 +1,107 @@
+package graft.canon
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a DataFrame edge list via the
+  * large-star / small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — O(log n) rounds,
+  * no GraphX/RDDs (per the north-rule input hint), no collect_list
+  * (hot stars are handled with min-aggregates + joins only, so a
+  * 10^7-mention star never materializes one row with 10^7 neighbors —
+  * SURVEY.md §7.4 risk 3).
+  *
+  * Replaces the reference's server-side Louvain community detection
+  * (reference Base_Neo4j.py:637-712; SURVEY.md G10 documents why CC is
+  * the faithful simplification at the 0.95 threshold).
+  *
+  * Input: edges with columns (src, dst) of any orderable type.
+  * Output: (id, component) where component = min id in the component;
+  * covers every id appearing in the edge list.
+  */
+object ConnectedComponents {
+
+  def run(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+
+    def symmetrize(e: DataFrame): DataFrame =
+      e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+    var edges = edgesIn.filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // --- large-star over the symmetrized view: for each u,
+      //     m = min(u, min neighbor); attach every neighbor v > u to m
+      val sym = symmetrize(edges)
+      val minN = sym.groupBy("src").agg(min("dst").as("mn"))
+      val large = sym.join(minN, "src")
+        .select(col("dst").as("u"),
+          least(col("src"), col("mn")).as("v"))
+        .filter(col("u") > col("src"))  // v > u per the paper
+        .select(col("u").as("src"), col("v").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+
+      // --- small-star over edges oriented high -> low
+      val oriented = large
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .distinct()
+      val minLow = oriented.groupBy("src").agg(min("dst").as("mn"))
+      // attach every low neighbor and u itself to m = min(lows ∪ {u})
+      val attachLows = oriented.join(minLow, "src")
+        .select(col("dst").as("u"), least(col("mn"), col("src")).as("v"))
+      val attachSelf = minLow
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("v"))
+      val small = attachLows.union(attachSelf)
+        .filter(col("u") =!= col("v"))
+        .select(col("u").as("src"), col("v").as("dst"))
+        .distinct()
+        .localCheckpoint(true)  // cut lineage every round
+
+      // convergence: edge set stable under (count, xor-of-hashes) —
+      // xor is order-independent and cannot overflow under ANSI mode
+      def setSig(df: DataFrame) = df.select(
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("h")).first()
+      val t0 = System.nanoTime()
+      val sig = setSig(small)
+      val prevSig = setSig(edges)
+      converged = sig == prevSig
+      edges = small
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE")) {
+        println(f"[cc] iter $iter sig=$sig prev=$prevSig " +
+          f"sigTime=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
+    // final star edges: every node points at its root; roots self-map;
+    // vertices that only appeared in dropped self-loops stay singletons
+    val members = edges.select(col("src").as("id"), col("dst").as("component"))
+    val roots = edges.select(col("dst").as("id"), col("dst").as("component"))
+    val verts = edgesIn.select(col("src").as("id"))
+      .union(edgesIn.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+    members.union(roots).union(verts)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Components including singleton vertices from `vertices(id)`. */
+  def runWithVertices(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val cc = run(edges)
+    vertices.select(col("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -34,9 +34,34 @@ final case class KnowledgeBase(
   lazy val patterns: Vector[String] =
     (entities.flatMap(_.evidence) ++
       triples.flatMap(t => t.evidence ++ t.forbid)).distinct
+
+  /** Gazetteer augmented with alias-decorated variants (entity-linking
+    * surface forms the canonicalizer must merge back): a decoration
+    * suffix (clean-prompt rule path), a hyphen-inserted form
+    * (embedding-LSH path), and a lowercase form (G12 path). The alias
+    * keeps its own name — linking it to the base is the canonicalizer's
+    * job, not the gazetteer's. */
+  def withAliases: KnowledgeBase = {
+    val variants = entities.filter(_.name.length >= 4).flatMap { e =>
+      KnowledgeBase.aliasVariants(e.name).map { v =>
+        KbEntity(v, e.entityType, e.description,
+          Vector(KnowledgeBase.normalize(v)))
+      }
+    }
+    copy(entities = entities ++ variants)
+  }
 }
 
 object KnowledgeBase {
+
+  /** Deterministic alias surface forms for an entity name. */
+  def aliasVariants(name: String): Vector[String] = {
+    val suffix = name + "装置"
+    val hyphen = name.take(2) + "-" + name.drop(2)
+    val lower = name.toLowerCase
+    (Vector(suffix, hyphen) ++
+      (if (lower != name) Vector(lower) else Vector.empty)).distinct
+  }
 
   /** Text normalization applied before evidence matching (mirrors
     * tools/build_kb.py `norm`): strip all whitespace, map full-width

@@ -29,7 +29,11 @@ import scala.collection.mutable
 object HtmlToMarkdown {
 
   sealed trait Tok
-  final case class Open(name: String, attrs: Map[String, String], selfClose: Boolean) extends Tok
+  /** `selfClose` = element has no close tag (void or XML-style);
+    * `literalSlash` = the source spelled a trailing "/" (preserved on
+    * re-serialization so table-embedded content round-trips bytewise). */
+  final case class Open(name: String, attrs: Map[String, String],
+      selfClose: Boolean, literalSlash: Boolean = false) extends Tok
   final case class Close(name: String) extends Tok
   final case class Text(s: String) extends Tok
 
@@ -72,7 +76,7 @@ object HtmlToMarkdown {
             val name = (if (sp < 0) core else core.substring(0, sp)).toLowerCase
             val attrs = if (sp < 0) Map.empty[String, String] else parseAttrs(core.substring(sp + 1))
             val void = name == "img" || name == "br" || name == "hr" || name == "meta" || name == "link" || name == "input"
-            out += Open(name, attrs, selfClose || void)
+            out += Open(name, attrs, selfClose || void, selfClose)
             i = gt + 1
           }
         }
@@ -122,7 +126,7 @@ object HtmlToMarkdown {
   }
 
   private def firstText(toks: Vector[Tok], tag: String): Option[String] = {
-    val start = toks.indexWhere { case Open(`tag`, _, false) => true; case _ => false }
+    val start = toks.indexWhere { case Open(`tag`, _, false, _) => true; case _ => false }
     if (start < 0) None
     else {
       val sb = new StringBuilder
@@ -150,7 +154,7 @@ object HtmlToMarkdown {
     val spans = Vector.newBuilder[(Int, Int, String)]
     val stack = mutable.Stack.empty[(String, Int)]
     toks.zipWithIndex.foreach {
-      case (Open(nm, _, false), i) if blockTags(nm) => stack.push((nm, i))
+      case (Open(nm, _, false, _), i) if blockTags(nm) => stack.push((nm, i))
       case (Close(nm), i) if blockTags(nm) && stack.nonEmpty && stack.top._1 == nm =>
         val (_, s) = stack.pop()
         spans += ((s + 1, i, nm))
@@ -165,7 +169,7 @@ object HtmlToMarkdown {
     var commas = 0
     var inAnchor = 0
     toks.foreach {
-      case Open("a", _, false) => inAnchor += 1
+      case Open("a", _, false, _) => inAnchor += 1
       case Close("a") => if (inAnchor > 0) inAnchor -= 1
       case Text(t) =>
         val d = decode(t)
@@ -188,7 +192,7 @@ object HtmlToMarkdown {
       }
       toks.slice(best._1, best._2)
     } else {
-      val b = toks.indexWhere { case Open("body", _, false) => true; case _ => false }
+      val b = toks.indexWhere { case Open("body", _, false, _) => true; case _ => false }
       if (b >= 0) {
         val e = toks.lastIndexWhere { case Close("body") => true; case _ => false }
         toks.slice(b + 1, if (e > b) e else toks.length)
@@ -218,7 +222,7 @@ object HtmlToMarkdown {
       var j = from
       while (j < toks.length && depth > 0) {
         toks(j) match {
-          case Open(`tag`, _, false) => depth += 1
+          case Open(`tag`, _, false, _) => depth += 1
           case Close(`tag`) => depth -= 1
           case Text(t) if depth > 0 => sb ++= decode(t)
           case _ =>
@@ -237,7 +241,7 @@ object HtmlToMarkdown {
       var j = from
       while (j < toks.length && depth > 0) {
         toks(j) match {
-          case o @ Open(nm, _, sc) =>
+          case o @ Open(nm, _, sc, _) =>
             if (nm == tag && !sc) depth += 1
             sb ++= serializeOpen(o)
           case Close(nm) =>
@@ -252,7 +256,7 @@ object HtmlToMarkdown {
 
     while (i < toks.length) {
       toks(i) match {
-        case o @ Open(name, attrs, selfClose) =>
+        case o @ Open(name, attrs, selfClose, _) =>
           name match {
             case headingRe(lvl) if !selfClose =>
               flushPara()
@@ -316,7 +320,7 @@ object HtmlToMarkdown {
 
   private def serializeOpen(o: Open): String = {
     val attrs = o.attrs.map { case (k, v) => s""" $k="$v"""" }.mkString
-    val slash = if (o.selfClose && o.name == "img") "/" else ""
+    val slash = if (o.literalSlash || (o.selfClose && o.name == "img")) "/" else ""
     s"<${o.name}$attrs$slash>"
   }
 
