@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // modest fixed heap: this VM (Firecracker) faults memory in 4 KiB
+  // pages, so letting G1 balloon to tens of GB costs far more in page
+  // faults than the extra space saves in GC
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

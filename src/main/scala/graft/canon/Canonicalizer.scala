@@ -79,6 +79,19 @@ object Canonicalizer {
     *    n_mentions, aliases, descriptions, source_chunks, component_id
     *  - nameMap: entity_name (raw) -> canonical_id
     */
+  private def timed[A](n: String)(f: => A): A = {
+    if (sys.env.contains("GRAFT_KG_STAGE_TIMES")) {
+      val s = System.nanoTime()
+      val x = f
+      System.err.println(f"[canon $n] ${(System.nanoTime() - s) / 1e9}%.2f s")
+      x
+    } else f
+  }
+
+  /** Debug-only action (no-op unless GRAFT_KG_STAGE_TIMES is set). */
+  private def probe(n: String)(f: => Any): Unit =
+    if (sys.env.contains("GRAFT_KG_STAGE_TIMES")) timed(n)(f)
+
   def canonicalize(mentions: DataFrame): (DataFrame, DataFrame) = {
     val spark = mentions.sparkSession
 
@@ -98,6 +111,11 @@ object Canonicalizer {
         slice(sort_array(collect_set("entityDescription")), 1, ListCap).as("descriptions"),
         slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
 
+    // persisted: `names` feeds three consumers (LSH banding, CC vertex
+    // set, representative merge) and sits on top of the whole
+    // chunk->extract subtree — without the persist that subtree executes
+    // once per consumer. One row per distinct normalized name; spills to
+    // disk at web scale.
     val names = partial
       .groupBy("name_key")
       .agg(
@@ -108,6 +126,11 @@ object Canonicalizer {
         slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
         slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
       .withColumn("embedding", embedUdf(col("display_name")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    probe("mentionsIn")(mentions.count())
+    probe("partialAgg")(partial.count())
+    probe("namesAgg")(names.count())
 
     // ---- G9 MinHash-LSH candidates + cosine verify ---------------------
     val banded = names.select(col("name_key"), col("embedding"),
@@ -125,9 +148,11 @@ object Canonicalizer {
       .filter(col("cos") >= MergeThreshold)
       .select("src", "dst")
 
+    probe("lshVerify")(verified.count())
+
     // ---- G10 connected components --------------------------------------
-    val comps = ConnectedComponents.runWithVertices(
-      verified, names.select(col("name_key").as("id")))
+    val comps = timed("cc")(ConnectedComponents.runWithVertices(
+      verified, names.select(col("name_key").as("id"))))
 
     // ---- G11 representative merge ---------------------------------------
     val withComp = names.join(
@@ -154,7 +179,13 @@ object Canonicalizer {
 
   /** G5 semantics: rewrite triple endpoints through the canonical map
     * (inner joins drop dangling edges like Cypher MATCH), then dedup on
-    * (subj, pred, obj). */
+    * (subj, pred, obj).
+    *
+    * The final aggregate is salted two-phase: the distinct-edge count is
+    * tiny relative to the triple count (hot facts repeat across a large
+    * fraction of the corpus), so a single-phase `collect_set(chunkId)`
+    * would funnel millions of rows into a handful of groups with
+    * unbounded map-side set state — the same hot-key pattern as G12. */
   def rewriteTriples(triples: DataFrame, nameMap: DataFrame): DataFrame = {
     val subjMap = nameMap
       .withColumnRenamed("entity_name", "subj")
@@ -166,10 +197,17 @@ object Canonicalizer {
       .join(subjMap, "subj")
       .join(objMap, "obj")
       .filter(col("subj_id") =!= col("obj_id"))
-      .groupBy("subj_id", "pred", "obj_id")
+      .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(Salts)))
+      .groupBy("subj_id", "pred", "obj_id", "salt")
       .agg(
         count(lit(1)).as("n_sources"),
         min("description").as("description"),
         slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
+      .groupBy("subj_id", "pred", "obj_id")
+      .agg(
+        sum("n_sources").as("n_sources"),
+        min("description").as("description"),
+        slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap)
+          .as("source_chunks"))
   }
 }

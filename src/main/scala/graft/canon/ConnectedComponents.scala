@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  def run(edgesIn: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Below this edge count the component graph is solved on the driver
+    * with union-find instead of the O(log n)-round distributed
+    * fixpoint: each distributed round costs 2+ shuffles, which is pure
+    * overhead on the small post-LSH entity graphs, while 500k edges is
+    * still trivially driver-sized. The distributed path is exercised
+    * by tests with localSolveMax = 0 and kicks in automatically at
+    * web scale (billions of distinct names). */
+  val LocalSolveMax = 500000L
+
+  def run(edgesIn: DataFrame, maxIter: Int = 50,
+      localSolveMax: Long = LocalSolveMax): DataFrame = {
     val spark = edgesIn.sparkSession
     import spark.implicits._
 
@@ -34,6 +44,8 @@ object ConnectedComponents {
     var edges = edgesIn.filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
       .localCheckpoint(true)
+
+    if (edges.count() <= localSolveMax) return localSolve(edgesIn, edges)
 
     var converged = false
     var iter = 0
@@ -94,6 +106,51 @@ object ConnectedComponents {
       .select(col("id"), col("id").as("component"))
     members.union(roots).union(verts)
       .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Driver-side union-find over an already-deduped edge list (the
+    * size-gated fast path). Component representative is the min id
+    * under the same ordering Spark's `min` uses for the column type,
+    * so both paths produce identical output. */
+  private def localSolve(edgesIn: DataFrame, deduped: DataFrame): DataFrame = {
+    val spark = deduped.sparkSession
+    val dt = deduped.schema("src").dataType
+    val lt: (Any, Any) => Boolean = dt match {
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case org.apache.spark.sql.types.IntegerType =>
+        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case _ => (a, b) => a.toString < b.toString
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    deduped.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ids = parent.keySet ++ parent.values
+    // second pass: representative = min member (union order above keeps
+    // roots minimal already since we always parent the larger root)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.size)
+    ids.foreach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("component", dt)))
+    val local = spark.createDataFrame(rows, schema)
+    // vertices that only appeared in self-loops stay singletons
+    val verts = edgesIn.select(col("src").as("id"))
+      .union(edgesIn.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("component"))
+    local.union(verts).groupBy("id").agg(min("component").as("component"))
   }
 
   /** Components including singleton vertices from `vertices(id)`. */

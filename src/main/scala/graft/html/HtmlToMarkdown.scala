@@ -85,10 +85,13 @@ object HtmlToMarkdown {
     out.result()
   }
 
+  // compiled once — attr parsing runs per open tag in the hot path
+  private val attrRe =
+    """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
+
   private def parseAttrs(s: String): Map[String, String] = {
     val m = mutable.LinkedHashMap.empty[String, String]
-    val re = """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
-    for (g <- re.findAllMatchIn(s)) {
+    for (g <- attrRe.findAllMatchIn(s)) {
       val v = Option(g.group(3)).orElse(Option(g.group(4))).orElse(Option(g.group(5))).getOrElse("")
       m(g.group(1).toLowerCase) = v
     }
@@ -324,6 +327,23 @@ object HtmlToMarkdown {
     s"<${o.name}$attrs$slash>"
   }
 
-  def collapseWs(s: String): String =
-    s.replaceAll("\\s+", " ").strip()
+  /** Whitespace-run collapse without regex (hot path: every text token
+    * flows through here). Semantics identical to
+    * `replaceAll("\\s+", " ").strip()`. */
+  def collapseWs(s: String): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

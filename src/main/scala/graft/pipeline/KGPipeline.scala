@@ -32,6 +32,29 @@ object KGPipeline {
       header_name: String,
       content: String)
 
+  /** The reference chunk identity "chunk_" + md5(content)[:8]
+    * (Base_Neo4j.py:95-107), computed in-flatMap with a thread-local
+    * digest so chunking + id assignment stay one object pipeline (no
+    * extra serialize/project hop between the typed transforms). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def chunkId(content: String): String = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new StringBuilder(8)
+    var i = 0
+    while (i < 4) { // first 8 hex chars = first 4 bytes
+      hex.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    "chunk_" + hex
+  }
+
   /** Chunking: narrow flatMap. `text` recomputed from html when
     * `fromHtml` (exercises the byte-identity stage S1); chunk identity
     * is the reference's content hash (G1). */
@@ -44,31 +67,39 @@ object KGPipeline {
         else p.text
       MarkdownSplitter.split(text).zipWithIndex.collect {
         case (s, i) if s.content.nonEmpty =>
-          ChunkRow("", p.url, i, s.header.level, s.header.name, s.content)
+          ChunkRow(chunkId(s.content), p.url, i, s.header.level, s.header.name, s.content)
       }
-    }.withColumn("chunk_id", TextOps.chunkId(col("content")))
-      .as[ChunkRow]
+    }
   }
 
-  /** Mention + triple extraction over *distinct* chunk contents
-    * (identical content => identical extraction; G2's dedup applied
-    * before the expensive stage instead of after), then provenance is
-    * re-attached by the caller via the chunks table. The extractor is
-    * broadcast; its Aho-Corasick automaton builds once per executor. */
-  def extract(spark: SparkSession, distinctChunks: Dataset[ChunkRow])
+  /** Mention + triple extraction, deduped to one result per distinct
+    * chunk content (identical content => identical extraction, G2
+    * semantics). Extraction runs as a NARROW transform over every chunk
+    * instance — the full chunk text never shuffles; only the compact
+    * per-chunk result arrays do. Dedup is two-phase like a partial
+    * aggregate: a per-partition seen-set drops the (Zipf-heavy)
+    * duplicate contents early, then `dropDuplicates(chunk_id)` merges
+    * across partitions (safe: every surviving row for a chunk_id is
+    * identical). The extractor is broadcast; its Aho-Corasick automaton
+    * builds once per executor. */
+  def extract(spark: SparkSession, chunks: Dataset[ChunkRow])
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       new TripleExtractor(KnowledgeBase.load().withAliases))
-    val both = distinctChunks.mapPartitions { it =>
+    val both = chunks.mapPartitions { it =>
       val ex = bc.value
-      it.map { c =>
-        val (ms, ts) = ex.extract(c.chunk_id, c.url, c.content)
-        (c.chunk_id,
-          ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
-          ts.map(t => (t.subj, t.pred, t.obj, t.description)))
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      it.flatMap { c =>
+        if (seen.add(c.chunk_id)) {
+          val (ms, ts) = ex.extract(c.chunk_id, c.url, c.content)
+          Iterator.single((c.chunk_id,
+            ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
+            ts.map(t => (t.subj, t.pred, t.obj, t.description))))
+        } else Iterator.empty
       }
     }.toDF("chunk_id", "mentions", "triples")
+      .dropDuplicates("chunk_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mentions = both
       .select(col("chunk_id"), explode(col("mentions")).as("m"))
@@ -93,16 +124,23 @@ object KGPipeline {
       nameMap: DataFrame,
       edges: DataFrame)
 
-  def run(spark: SparkSession, nPages: Long, partitions: Int = 32): Result = {
+  def run(spark: SparkSession, nPages: Long, partitions: Int = 32): Result =
+    runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions))
+
+  /** Same DAG over an externally supplied pages table (the real job
+    * shape: spark.read over the Iceberg/parquet pages table). */
+  def runOnPages(spark: SparkSession, pages: Dataset[Page],
+      fromHtml: Boolean = true): Result = {
     import spark.implicits._
-    val pages = PagesGenerator.pages(spark, nPages, partitions)
-    val chunks = chunk(pages)
-    val distinct = chunks.dropDuplicates("chunk_id").as[ChunkRow]
-    val (mentions, triples) = extract(spark, distinct)
+    val chunks = chunk(pages, fromHtml)
+    val (mentions, triples) = extract(spark, chunks)
     // chunkId in mentions/triples refers to the distinct chunk; re-join
     // provenance (all urls containing the chunk) happens on demand
-    val (entities, nameMap) = Canonicalizer.canonicalize(
+    val (entities, nameMap0) = Canonicalizer.canonicalize(
       mentions.withColumnRenamed("chunk_id", "chunkId"))
+    // nameMap feeds two joins (subj + obj endpoint rewrite) — persist so
+    // the canonicalization subtree computes once, not twice per action
+    val nameMap = nameMap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = Canonicalizer.rewriteTriples(
       triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
     Result(pages, chunks, mentions, triples, entities, nameMap, edges)

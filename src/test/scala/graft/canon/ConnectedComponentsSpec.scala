@@ -26,10 +26,15 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  /** Both the driver union-find fast path and the distributed
+    * large-star/small-star fixpoint (localSolveMax = 0) must match. */
   private def check(edges: Seq[(Long, Long)]): Unit = {
     val df = edges.toDF("src", "dst")
-    val got = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
-    assert(got == oracle(edges))
+    val local = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.run(df, localSolveMax = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == oracle(edges))
+    assert(dist == oracle(edges))
   }
 
   test("chain graph collapses to one component rooted at min") {
@@ -69,10 +74,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("string ids work (entity-name keyed CC)") {
+  test("string ids work (entity-name keyed CC), both paths") {
     val df = Seq(("b", "a"), ("c", "b"), ("x", "y")).toDF("src", "dst")
-    val got = ConnectedComponents.run(df).as[(String, String)].collect().toMap
-    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    val want = Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
+    val local = ConnectedComponents.run(df).as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.run(df, localSolveMax = 0)
+      .as[(String, String)].collect().toMap
+    assert(local == want)
+    assert(dist == want)
   }
 
   test("singletons included via runWithVertices") {
