@@ -74,6 +74,18 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => graft.dedup.DedupOps.exactGroups(s, d)),
     "dedup_exact_drop" -> ((s, d) => graft.dedup.DedupOps.exactDropList(s, d)),
     "dedup_jaccard" -> ((s, d) => graft.dedup.DedupOps.jaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => graft.dedup.DedupOps.minhashLshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => graft.dedup.DedupOps.simhashPairs(s, d)),
+    // --- similarity search family ---
+    "ann_topk" -> ((s, d) => graft.ops.VectorOps.annTopK(s, d)),
+    "ann_topk_lsh" -> ((s, d) => graft.ops.VectorOps.annTopKLsh(s, d)),
+    "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
+    "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
+    "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topK(s, d)),
+    // --- multimodal plumbing ---
+    "mm_decode_meta" -> ((s, d) => graft.mm.MultimodalOps.decodeMeta(s, d)),
+    // --- time-window aggregation over the events table ---
+    "q_time_window" -> ((s, d) => timeWindowAgg(s, d)),
     // --- text analysis ---
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_langid" -> ((s, d) => textLangId(s, d)),
@@ -83,6 +95,16 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+
+  /** Tumbling 1-hour window aggregate over the events stream table —
+    * Spark's `window()` (the batch form of the Structured Streaming
+    * windowed agg); oracle is date_trunc. */
+  def timeWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
 
   def textStats(s: SparkSession, d: String): DataFrame = {
     import graft.text.TextOps._
@@ -206,6 +228,63 @@ object SparkEntry {
            |  WHEN $fr >= $es THEN 'fr'
            |  ELSE 'es' END AS pred_lang
            |FROM documents""".stripMargin,
+      "dedup_minhash_lsh" ->
+        s"""WITH toks AS (SELECT doc_id, $toksLower AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+           |sizes AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE round(CAST(i AS DOUBLE) / (sa.s + sb.s - i), 6) >= 0.5""".stripMargin,
+      "ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          |        list_cosine_similarity(e.embedding, q.qv) AS cos
+          |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+          |r AS (SELECT query_id, neighbor_id,
+          |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          |      FROM s)
+          |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10""".stripMargin,
+      "vec_neardup" ->
+        """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+      "bm25_topk" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+          |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          |idf0 AS (SELECT tok, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf_raw FROM df),
+          |aidf AS (SELECT avg(idf_raw) AS a FROM idf0),
+          |idf AS (SELECT tok, CASE WHEN idf_raw < 0 THEN 0.25 * (SELECT a FROM aidf)
+          |                         ELSE idf_raw END AS idf FROM idf0),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+          |       WHERE tok IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+          |sc AS (SELECT tf.doc_id,
+          |         round(sum(idf.idf * tf.tf * 2.5 /
+          |           (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6) AS score
+          |       FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) GROUP BY 1)
+          |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, score
+          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      "mm_decode_meta" ->
+        """SELECT doc_id,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |  CAST(32 + octet_length(encode(text)) % 97 AS INT) AS width,
+          |  CAST(32 + (octet_length(encode(text)) * 7) % 89 AS INT) AS height,
+          |  md5(substring(text, 1, 100)) || ',' || md5(substring(text, 101, 100))
+          |    || ',' || md5(substring(text, 201, 100)) || ',' || md5(substring(text, 301, 100))
+          |    AS frames_joined
+          |FROM documents""".stripMargin,
+      "q_time_window" ->
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+          |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
       "text_fingerprint" ->
         s"SELECT doc_id, $fp AS fp FROM documents",
       "text_quality" ->

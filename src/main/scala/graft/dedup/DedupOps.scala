@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.lsh.{MinHasher, SimHasher}
 import graft.text.TextOps
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -85,5 +86,78 @@ object DedupOps {
           (col("size_a") + col("size_b") - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash+LSH near-duplicate pairs: shingle -> 128-hash minhash
+    * signature -> 32 banded keys -> equi-self-join on band -> EXACT
+    * Jaccard verify >= minJaccard. The band join replaces the all-pairs
+    * product (the 10^12-doc scale path); the exact verify makes the
+    * output identical to exact all-pairs Jaccard whenever band
+    * parameters give ~1 recall at the threshold (here: P(miss | J=0.8)
+    * ~= 5e-8 with b=32, r=4 — the testdata near-dups all have J >= 0.8,
+    * measured). Signature computation is a narrow mapPartitions; the
+    * only shuffles are the band join and the per-doc shingle-set agg.
+    */
+  def minhashLshPairs(spark: SparkSession, sfDir: String,
+      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val banded = docs.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val sh = MinHasher.wordShingles(text, n)
+        if (sh.isEmpty) Iterator.empty
+        else MinHasher.bandKeys(MinHasher.signature(sh)).iterator.map(b => (id, b))
+      }
+    }.toDF("doc_id", "band")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify on candidates only: per-doc distinct shingle sets
+    val sets = wordShingles(docs, n)
+      .groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("sset"),
+        count(lit(1)).as("set_size"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa"),
+        col("set_size").as("size_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb"),
+        col("set_size").as("size_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash over whitespace
+    * tokens, banded into 4 x 16-bit blocks (pigeonhole: any pair at
+    * Hamming distance <= 3 shares a block), block equi-join for
+    * candidates, exact Hamming verify. The hash family is ours
+    * (splitmix64) so there is no SQL oracle — covered by ScalaTest +
+    * the driver's rows-only check. */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val hashed = docs.as[(Long, String)].mapPartitions { it =>
+      it.map { case (id, text) => (id, SimHasher.simhash(text)) }
+    }.toDF("doc_id", "simhash").persist()
+    val blocks = hashed.as[(Long, Long)].mapPartitions { it =>
+      it.flatMap { case (id, h) =>
+        SimHasher.blockKeys(h).iterator.map(b => (id, h, b))
+      }
+    }.toDF("doc_id", "simhash", "block")
+    val hammingUdf = udf((a: Long, b: Long) => SimHasher.hamming(a, b))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", hammingUdf(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational BM25 (SURVEY.md §2.5 R1): the reference wraps rank_bm25's
+  * BM25Okapi with a whitespace `text.split()` preprocess
+  * (reference core/retrieval/bm25.py:16-25,151-238 via from_texts; scoring
+  * get_scores -> argsort -> top-k at :276-317). This is the same math as a
+  * join + aggregate over a postings table:
+  *
+  *   idf_raw(t) = ln((N - df + 0.5) / (df + 0.5))
+  *   idf(t)     = idf_raw < 0 ? epsilon * avg(idf_raw over vocab) : idf_raw
+  *   score(d)   = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  *
+  * with BM25Okapi defaults k1=1.5, b=0.75, epsilon=0.25 (incl. the
+  * negative-idf epsilon flooring quirk, ported exactly).
+  *
+  * Scale shape: postings = one explode + two hash aggregates; scoring =
+  * a semi-join on the (tiny, broadcast) query-term list, then a
+  * groupBy(doc) sum — no cross product, no per-doc loop. Top-k is
+  * TakeOrderedAndProject.
+  */
+object BM25Ops {
+
+  val K1 = 1.5
+  val B = 0.75
+  val Epsilon = 0.25
+
+  /** (doc_id, tok) with repetitions — `text.split()` semantics. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      when(length(trim(col("text"))) === 0, array())
+        .otherwise(split(trim(col("text")), "\\s+"))).as("tok"))
+
+  /** Top-k docs for a fixed query-term list. Emits (doc_id, rank,
+    * score rounded to 6dp); ranking ties broken by doc_id. */
+  def topK(spark: SparkSession, sfDir: String,
+      query: Seq[String] = Seq("spark", "join", "vector"),
+      k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val toks = tokens(docs).persist()
+    try {
+      val nDocs = docs.count().toDouble
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val withIdfRaw = df.withColumn("idf_raw",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      val avgIdf = withIdfRaw.agg(avg("idf_raw")).head().getDouble(0)
+      val idf = withIdfRaw.withColumn("idf",
+        when(col("idf_raw") < 0, lit(Epsilon * avgIdf)).otherwise(col("idf_raw")))
+
+      val queryDf = {
+        import spark.implicits._
+        query.toDF("tok")
+      }
+      val tf = toks
+        .join(broadcast(queryDf), Seq("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val scored = tf
+        .join(broadcast(idf.select("tok", "idf")), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("contrib",
+          col("idf") * col("tf") * lit(K1 + 1) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id")
+        .agg(round(sum("contrib"), 6).as("score"))
+      // top-k first (TakeOrderedAndProject — no global single-partition
+      // window over the full scored set), then rank the k survivors
+      import org.apache.spark.sql.expressions.Window
+      scored
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+        .select("doc_id", "rank", "score")
+    } finally toks.unpersist()
+  }
+
+}

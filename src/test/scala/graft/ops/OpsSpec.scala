@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.dedup.DedupOps
+import graft.mm.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Specs for the similarity-search / BM25 / dedup-LSH / multimodal /
+  * window operator families, each checked against a local
+  * single-threaded oracle over the sf0.001 testdata. */
+class OpsSpec extends SparkSpec {
+
+  private lazy val vecs: Map[Long, Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+  }
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+  }
+
+  test("ann_topk matches a local brute-force oracle") {
+    val got = VectorOps.annTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (q <- 0L until 10L) {
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(10).map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("ann_topk_lsh neighbors are a high-recall subset of exact top-10") {
+    val lsh = VectorOps.annTopKLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var hit = 0; var total = 0
+    for (q <- 0L until 10L) {
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      total += exact.size
+      hit += (exact & lsh.getOrElse(q, Set.empty)).size
+    }
+    // The testdata's top-10 neighbors sit at cosine ~0.2-0.5, far below
+    // the >= 0.85 regime the hyperplane params target (where recall is
+    // >= 0.99, see HyperplaneLSH docs); at cos ~0.3 theory gives ~0.23.
+    // The assert guards against collapse, not against the regime.
+    val recall = hit.toDouble / total
+    info(f"LSH top-10 recall vs exact: $recall%.2f (low-cosine regime)")
+    assert(recall >= 0.15, s"recall $recall collapsed — LSH params broken")
+  }
+
+  test("vec_neardup matches local all-pairs at 0.4") {
+    val got = VectorOps.nearDupPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.4
+    } yield (i, j)).toSet
+    assert(got == expected)
+  }
+
+  test("mmr first pick is the nearest neighbor; output deterministic") {
+    val a = VectorOps.mmrRerank(spark, sf0001)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val b = VectorOps.mmrRerank(spark, sf0001)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(a.length == 10)
+    val nearest = vecs.toSeq.filter(_._1 != 0L)
+      .maxBy { case (id, v) => (cos(vecs(0L), v), -id) }._1
+    assert(a.head == ((1, nearest)))
+    // MMR diversifies: selection must differ from plain top-k order
+    val topk = vecs.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, v) => (-cos(vecs(0L), v), id) }.take(10).map(_._1)
+    assert(a.map(_._2) != topk, "lambda=0.5 should reorder vs pure similarity")
+  }
+
+  test("bm25 matches a local rank_bm25-style oracle") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val query = Seq("spark", "join", "vector")
+    val toks = docs.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array.empty[String] else t.trim.split("\\s+"))
+    }.toMap
+    val n = docs.length.toDouble
+    val dls = toks.filter(_._2.nonEmpty).view.mapValues(_.length.toDouble).toMap
+    val avgdl = dls.values.sum / dls.size
+    val dfs = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val idfRaw = dfs.view.mapValues(df => math.log((n - df + 0.5) / (df + 0.5))).toMap
+    val avgIdf = idfRaw.values.sum / idfRaw.size
+    val idf = idfRaw.view.mapValues(v => if (v < 0) 0.25 * avgIdf else v).toMap
+    val scores = toks.collect { case (id, ts) if ts.nonEmpty =>
+      val tf = ts.groupBy(identity).view.mapValues(_.length).toMap
+      val s = query.flatMap { t =>
+        tf.get(t).map { f =>
+          idf(t) * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
+        }
+      }.sum
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2 != 0.0).toSeq
+    val expected = scores.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+    val got = BM25Ops.topK(spark, sf0001).orderBy("rank")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs at the threshold") {
+    val lsh = DedupOps.minhashLshPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.jaccardPairs(spark, sf0001, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty, "testdata should contain near-duplicates")
+  }
+
+  test("simhash finds all exact-duplicate pairs at hamming 0") {
+    import spark.implicits._
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val exactDups = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val got = DedupOps.simhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDups.subsetOf(got),
+      s"missing exact dups: ${exactDups -- got}")
+  }
+
+  test("mm decode stub: schema, determinism, frame hash correctness") {
+    import spark.implicits._
+    val row = MultimodalOps.decodeMeta(spark, sf0001)
+      .filter(col("doc_id") === 0L).head()
+    val text = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") === 0L).select("text").as[String].head()
+    val bytes = text.getBytes("UTF-8")
+    assert(row.getLong(1) == bytes.length.toLong)
+    assert(row.getInt(2) == 32 + bytes.length % 97)
+    assert(row.getInt(3) == 32 + (bytes.length * 7) % 89)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val first = md.digest(text.substring(0, math.min(100, text.length))
+      .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(row.getString(4).split(",")(0) == first)
+  }
+
+  test("time window agg matches a filtered recount") {
+    val all = graft.SparkEntry.timeWindowAgg(spark, sf0001)
+    val one = all.orderBy("window_start", "event_type").head()
+    val ws = one.getAs[java.time.LocalDateTime](0) // ts is TIMESTAMP_NTZ
+    val et = one.getString(1)
+    val recount = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === et &&
+        col("ts") >= lit(ws) && col("ts") < lit(ws.plusHours(1)))
+      .count()
+    assert(one.getLong(2) == recount)
+  }
+}
