@@ -40,6 +40,7 @@ object SparkEntry {
       r.copy(
         mentions = r.mentions.persist(),
         triples = r.triples.persist(),
+        events = r.events.persist(),
         entities = r.entities.persist(),
         nameMap = r.nameMap.persist(),
         edges = r.edges.persist())
@@ -61,6 +62,10 @@ object SparkEntry {
       .select("canonical_id", "entity_name", "entity_type", "n_mentions", "n_merged_names")),
     "kg_edges" -> ((s, d) => kg(s, d).edges
       .select("subj_id", "pred", "obj_id", "n_sources")),
+    "kg_events" -> ((s, d) => kg(s, d).events
+      .select("event_id", "chunk_id", "content", "event_type")),
+    "kg_participates" -> ((s, d) => kg(s, d).participates),
+    "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
     // --- relational core (SURVEY.md §2.6) ---
     "q_agg_upsert" -> ((s, d) => graft.ops.RelationalOps.aggUpsert(s, d)),
     "q_agg_pricing" -> ((s, d) => graft.ops.RelationalOps.aggPricing(s, d)),

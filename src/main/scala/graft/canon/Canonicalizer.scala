@@ -177,6 +177,48 @@ object Canonicalizer {
     (canonical, nameMap)
   }
 
+  /** G13 event disambiguation (reference event_graphrag_neo4j.py:600-673:
+    * GDS KNN topK=10, similarityCutoff=0.85 over event embeddings,
+    * emitting SIMILAR_TO edges): hyperplane-LSH table keys over the
+    * content embedding replace the server-side KNN index — candidates
+    * come from an equi-join on (table, key), verified by exact cosine,
+    * then per-source top-k by window rank. Input: events with
+    * (event_id, content); output (src_event, dst_event, rank). */
+  def eventKnn(events: DataFrame, topK: Int = 10,
+      cutoff: Double = 0.85): DataFrame = {
+    val embedContentUdf = udf((s: String) => HashingEmbedder.embed(s.toLowerCase))
+    val bucketsUdf = udf((v: Seq[Float]) =>
+      graft.lsh.HyperplaneLSH.tableKeys(v.toArray))
+    // exact-duplicate contents collapse to one representative (min
+    // event_id) BEFORE the similarity join: identical contents are
+    // cosine-1.0 twins, and a hot event repeated across millions of
+    // pages would otherwise form one quadratic LSH bucket — the
+    // hot-entity star problem (SURVEY.md §4.3) in event form. The
+    // reference's all-pairs KNN has the same blowup; this is the
+    // documented scale deviation.
+    val emb = events
+      .groupBy(col("content"))
+      .agg(min(col("event_id")).as("event_id"))
+      .select(col("event_id"), embedContentUdf(col("content")).as("emb"))
+    val banded = emb.select(col("event_id"), col("emb"),
+      explode(bucketsUdf(col("emb"))).as("bucket"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.event_id") =!= col("b.event_id"))
+      .select(col("a.event_id").as("src_event"), col("b.event_id").as("dst_event"),
+        col("a.emb").as("ea"), col("b.emb").as("eb"))
+      .dropDuplicates("src_event", "dst_event")
+      .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
+      .filter(col("cos") >= cutoff)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_event").orderBy(desc("cos"), asc("dst_event"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("src_event", "dst_event", "rank")
+  }
+
   /** G5 semantics: rewrite triple endpoints through the canonical map
     * (inner joins drop dangling edges like Cypher MATCH), then dedup on
     * (subj, pred, obj).

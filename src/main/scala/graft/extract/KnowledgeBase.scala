@@ -22,18 +22,32 @@ final case class KbTriple(
     evidence: Vector[String],
     forbid: Vector[String]) extends Serializable
 
+/** One event spec: fires like a triple; `ord` is the within-chunk event
+  * ordinal ("event_N" in the reference id scheme,
+  * promt.py:5-18), `participants` the entity names linked via
+  * event_indices (pydantic_schema.py:10,29). */
+final case class KbEvent(
+    content: String,
+    eventType: String,
+    participants: Vector[String],
+    evidence: Vector[String],
+    forbid: Vector[String],
+    ord: Int) extends Serializable
+
 /** The broadcastable extraction dictionary — the deterministic stand-in
   * for the reference's LLM extraction contract
   * (reference examples/graph_extract/promt.py:110-166; replacement
   * rationale in SURVEY.md §7.5). */
 final case class KnowledgeBase(
     entities: Vector[KbEntity],
-    triples: Vector[KbTriple]) extends Serializable {
+    triples: Vector[KbTriple],
+    events: Vector[KbEvent] = Vector.empty) extends Serializable {
 
   /** All distinct evidence/forbid patterns, for the Aho-Corasick scan. */
   lazy val patterns: Vector[String] =
     (entities.flatMap(_.evidence) ++
-      triples.flatMap(t => t.evidence ++ t.forbid)).distinct
+      triples.flatMap(t => t.evidence ++ t.forbid) ++
+      events.flatMap(e => e.evidence ++ e.forbid)).distinct
 
   /** Gazetteer augmented with alias-decorated variants (entity-linking
     * surface forms the canonicalizer must merge back): a decoration
@@ -110,6 +124,15 @@ object KnowledgeBase {
         strs(t.get("evidence")).map(normalize),
         strs(t.get("forbid")).map(normalize))
     }.toVector
-    KnowledgeBase(ents, trs)
+    val evs = Option(root.get("events")).map(_.elements().asScala.map { e =>
+      KbEvent(
+        e.get("content").asText(),
+        Option(e.get("type")).map(_.asText()).getOrElse(""),
+        strs(e.get("participants")),
+        strs(e.get("evidence")).map(normalize),
+        strs(e.get("forbid")).map(normalize),
+        e.get("ord").asInt())
+    }.toVector).getOrElse(Vector.empty)
+    KnowledgeBase(ents, trs, evs)
   }
 }

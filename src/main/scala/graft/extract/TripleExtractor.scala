@@ -18,6 +18,17 @@ final case class Triple(
     obj: String,
     description: String)
 
+/** Per-chunk event (reference Event schema, promt.py:5-18 +
+  * participants from pydantic_schema.py:10,29). `ord` preserves the
+  * reference's "event_N" within-chunk numbering. */
+final case class EventRow(
+    chunkId: String,
+    url: String,
+    ord: Int,
+    content: String,
+    eventType: String,
+    participants: Vector[String])
+
 /** Deterministic mention detection + (subj, pred, obj) triple extraction
   * over chunk text — the Spark replacement for the reference's LLM
   * extraction loop (reference
@@ -55,9 +66,20 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     kb.triples.map(t =>
       (t, t.evidence.map(patternIndex), t.forbid.map(patternIndex)))
 
+  private val eventSpecs: Vector[(KbEvent, Vector[Int], Vector[Int])] =
+    kb.events.map(e =>
+      (e, e.evidence.map(patternIndex), e.forbid.map(patternIndex)))
+
   /** Extract mentions + triples from one chunk. */
   def extract(chunkId: String, url: String, content: String)
       : (Vector[Mention], Vector[Triple]) = {
+    val (m, t, _) = extractAll(chunkId, url, content)
+    (m, t)
+  }
+
+  /** Extract mentions + triples + events from one chunk. */
+  def extractAll(chunkId: String, url: String, content: String)
+      : (Vector[Mention], Vector[Triple], Vector[EventRow]) = {
     val normalized = KnowledgeBase.normalize(content)
     val hits = automaton.matchedIds(normalized)
 
@@ -84,6 +106,17 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
         triples += Triple(chunkId, url, t.subj, t.pred, t.obj, t.description)
       }
     }
-    (mentions.result(), triples.result())
+
+    // events: same firing rule; dedup by content (specs from different
+    // source chunks can share an ord, so content is the identity here —
+    // mirrors the reference's dedup-by-id within one extraction round)
+    val seenE = scala.collection.mutable.LinkedHashSet.empty[String]
+    val events = Vector.newBuilder[EventRow]
+    eventSpecs.foreach { case (e, ev, fb) =>
+      if (ev.nonEmpty && ev.forall(hits) && !fb.exists(hits) && seenE.add(e.content)) {
+        events += EventRow(chunkId, url, e.ord, e.content, e.eventType, e.participants)
+      }
+    }
+    (mentions.result(), triples.result(), events.result())
   }
 }

@@ -82,8 +82,10 @@ object KGPipeline {
     * across partitions (safe: every surviving row for a chunk_id is
     * identical). The extractor is broadcast; its Aho-Corasick automaton
     * builds once per executor. */
-  def extract(spark: SparkSession, chunks: Dataset[ChunkRow])
-      : (DataFrame, DataFrame) = {
+  final case class Extraction(
+      mentions: DataFrame, triples: DataFrame, events: DataFrame)
+
+  def extract(spark: SparkSession, chunks: Dataset[ChunkRow]): Extraction = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       new TripleExtractor(KnowledgeBase.load().withAliases))
@@ -92,13 +94,14 @@ object KGPipeline {
       val seen = scala.collection.mutable.HashSet.empty[String]
       it.flatMap { c =>
         if (seen.add(c.chunk_id)) {
-          val (ms, ts) = ex.extract(c.chunk_id, c.url, c.content)
+          val (ms, ts, es) = ex.extractAll(c.chunk_id, c.url, c.content)
           Iterator.single((c.chunk_id,
             ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
-            ts.map(t => (t.subj, t.pred, t.obj, t.description))))
+            ts.map(t => (t.subj, t.pred, t.obj, t.description)),
+            es.map(e => (e.ord, e.content, e.eventType, e.participants))))
         } else Iterator.empty
       }
-    }.toDF("chunk_id", "mentions", "triples")
+    }.toDF("chunk_id", "mentions", "triples", "events")
       .dropDuplicates("chunk_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mentions = both
@@ -111,7 +114,16 @@ object KGPipeline {
       .select(col("chunk_id"),
         col("t._1").as("subj"), col("t._2").as("pred"),
         col("t._3").as("obj"), col("t._4").as("description"))
-    (mentions, triples)
+    // G4 semantics: event identity = chunk_id + "_event_" + ord
+    // (reference event_graphrag_neo4j.py:139,373-396)
+    val events = both
+      .select(col("chunk_id"), explode(col("events")).as("e"))
+      .select(
+        concat(col("chunk_id"), lit("_event_"), col("e._1")).as("event_id"),
+        col("chunk_id"),
+        col("e._2").as("content"), col("e._3").as("event_type"),
+        col("e._4").as("participants"))
+    Extraction(mentions, triples, events)
   }
 
   /** Full in-memory DAG (stage-checkpointed variant in [[Lineage]]). */
@@ -120,9 +132,12 @@ object KGPipeline {
       chunks: Dataset[ChunkRow],
       mentions: DataFrame,
       triples: DataFrame,
+      events: DataFrame,
       entities: DataFrame,
       nameMap: DataFrame,
-      edges: DataFrame)
+      edges: DataFrame,
+      participates: DataFrame,
+      eventSimilar: DataFrame)
 
   def run(spark: SparkSession, nPages: Long, partitions: Int = 32): Result =
     runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions))
@@ -133,16 +148,30 @@ object KGPipeline {
       fromHtml: Boolean = true): Result = {
     import spark.implicits._
     val chunks = chunk(pages, fromHtml)
-    val (mentions, triples) = extract(spark, chunks)
+    val ex = extract(spark, chunks)
+    val (mentions, triples, events) = (ex.mentions, ex.triples, ex.events)
     // chunkId in mentions/triples refers to the distinct chunk; re-join
     // provenance (all urls containing the chunk) happens on demand
     val (entities, nameMap0) = Canonicalizer.canonicalize(
       mentions.withColumnRenamed("chunk_id", "chunkId"))
-    // nameMap feeds two joins (subj + obj endpoint rewrite) — persist so
-    // the canonicalization subtree computes once, not twice per action
+    // nameMap feeds three joins (subj/obj endpoint rewrite +
+    // participant resolution) — persist so the canonicalization subtree
+    // computes once per action
     val nameMap = nameMap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = Canonicalizer.rewriteTriples(
       triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
-    Result(pages, chunks, mentions, triples, entities, nameMap, edges)
+    // G7 PARTICIPATES_IN: explode participants, resolve through the
+    // canonical map (inner join drops names killed by the filters —
+    // Cypher MATCH semantics, reference event_graphrag_neo4j.py:479-558)
+    val participates = events
+      .select(col("event_id"), explode(col("participants")).as("entity_name"))
+      .join(nameMap, "entity_name")
+      .select(col("canonical_id"), col("event_id"))
+      .distinct()
+    // G13 event disambiguation: hyperplane-LSH candidates over content
+    // embeddings, cosine >= 0.85, top-10 per event
+    val eventSimilar = Canonicalizer.eventKnn(events)
+    Result(pages, chunks, mentions, triples, events, entities, nameMap,
+      edges, participates, eventSimilar)
   }
 }

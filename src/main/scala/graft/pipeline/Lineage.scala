@@ -101,8 +101,9 @@ object KGJob {
     // upstream computation (incl. the eager CC fixpoint) never runs
     lazy val extracted = KGPipeline.extract(spark,
       distinct.as[KGPipeline.ChunkRow])
-    val mentions = lin.stage("mentions")(extracted._1)
-    val triples = lin.stage("triples")(extracted._2)
+    val mentions = lin.stage("mentions")(extracted.mentions)
+    val triples = lin.stage("triples")(extracted.triples)
+    val events = lin.stage("events")(extracted.events)
     lazy val cano = graft.canon.Canonicalizer.canonicalize(
       mentions.withColumnRenamed("chunk_id", "chunkId"))
     val entities = lin.stage("entities")(cano._1)
@@ -111,10 +112,21 @@ object KGJob {
       graft.canon.Canonicalizer.rewriteTriples(
         triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
     }
+    val participates = lin.stage("participates") {
+      events.select(col("event_id"), explode(col("participants")).as("entity_name"))
+        .join(nameMap, "entity_name")
+        .select(col("canonical_id"), col("event_id"))
+        .distinct()
+    }
+    val eventSimilar = lin.stage("event_similar") {
+      graft.canon.Canonicalizer.eventKnn(events)
+    }
     Seq(
       "pages" -> pages.count(), "chunks" -> chunks.count(),
       "mentions" -> mentions.count(), "triples" -> triples.count(),
-      "entities" -> entities.count(), "edges" -> edges.count())
+      "events" -> events.count(), "entities" -> entities.count(),
+      "edges" -> edges.count(), "participates" -> participates.count(),
+      "event_similar" -> eventSimilar.count())
   }
 
 }

@@ -74,6 +74,29 @@ class ExtractorSpec extends AnyFunSuite {
     kept.foreach(n => assert(EntityFilters.keep(n), s"should keep: '$n'"))
   }
 
+  test("event extraction matches the fixture exactly per chunk") {
+    fixture.zipWithIndex.foreach { case (item, i) =>
+      val gold = item.get("metadata").get("events").elements().asScala.map { e =>
+        (e.get("content").asText(), e.get("type").asText())
+      }.toSet
+      val (_, _, events) = extractor.extractAll(s"chunk_$i", s"fixture://$i",
+        item.get("content").asText())
+      val got = events.map(e => (e.content, e.eventType)).toSet
+      assert(got == gold, s"chunk $i: extra=${got -- gold} missing=${gold -- got}")
+    }
+  }
+
+  test("event participants resolve to gold entity names") {
+    val item = fixture(0)
+    val goldNames = item.get("metadata").get("entities").elements().asScala
+      .map(_.get("entity_name").asText()).toSet
+    val (_, _, events) = extractor.extractAll("c", "u", item.get("content").asText())
+    assert(events.nonEmpty)
+    val parts = events.flatMap(_.participants)
+    assert(parts.nonEmpty)
+    assert(parts.forall(goldNames), s"unknown participants: ${parts.filterNot(goldNames)}")
+  }
+
   test("extraction is deterministic and order-stable") {
     val c = fixture(5).get("content").asText()
     val a = extractor.extract("c", "u", c)

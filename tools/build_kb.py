@@ -159,6 +159,100 @@ def main():
     P = tp / max(tp + fp, 1); R = tp / max(tp + fn, 1)
     print(f"P={P:.4f} R={R:.4f} (tp={tp} fp={fp} fn={fn})")
 
+    # ---- events: same distant-supervision treatment -------------------
+    # evidence = longest content tokens present in the source chunk,
+    # tightened with windows/forbids until each event fires exactly on
+    # its source chunk; participants = entities whose event_indices
+    # reference the event (reference pydantic_schema.py:10,29).
+    events = []
+    for i, it in enumerate(d):
+        m = it["metadata"]
+        ent_list = m.get("entities", [])
+        for idx, e in enumerate(m.get("events", [])):
+            toks = [norm(t) for t in re.split(r"[\s，。,.：:;；/（）()《》\-]+", e["content"]) if t]
+            toks = sorted({t for t in toks if len(t) >= 3 and t in contents[i]},
+                          key=len, reverse=True)
+            ev = toks[:3]
+            if not ev:
+                # paraphrased content: longest common substrings (>= 4)
+                # between the event text and the source chunk
+                cn = norm(e["content"])
+                lcs = []
+                for L in range(min(16, len(cn)), 3, -1):
+                    for s in range(0, len(cn) - L + 1):
+                        sub = cn[s:s+L]
+                        if sub in contents[i] and all(sub not in x for x in lcs):
+                            lcs.append(sub)
+                            break
+                    if len(lcs) >= 2:
+                        break
+                ev = lcs[:2]
+            if not ev:
+                # last resort: a window of the source chunk unique to it
+                ci = contents[i]
+                for L in (12, 16, 24):
+                    for s in range(0, len(ci) - L, 4):
+                        tok = ci[s:s+L]
+                        if all(tok not in contents[j]
+                               for j in range(len(contents)) if j != i):
+                            ev = [tok]
+                            break
+                    if ev:
+                        break
+            participants = sorted({en["entity_name"] for en in ent_list
+                                   if idx in (en.get("event_indices") or [])})
+            events.append({
+                "content": e["content"], "type": e.get("type", ""),
+                "participants": participants,
+                "evidence": sorted(set(ev)), "forbid": [],
+                "src_chunk": i, "ord": idx,
+            })
+
+    def efires(t):
+        return [j for j, c in enumerate(contents)
+                if all(e in c for e in t["evidence"])
+                and not any(f in c for f in t["forbid"])]
+
+    for t in events:
+        i = t["src_chunk"]
+        f = efires(t)
+        if f == [i]:
+            continue
+        if i not in f:
+            print(f"EVENT UNDERFIRE chunk {i}: {t['content'][:30]} ev={t['evidence']}")
+            continue
+        for j in f:
+            if j == i:
+                continue
+            for L in (8, 10, 12, 16, 24):
+                found = None
+                cj, ci = contents[j], contents[i]
+                for s in range(0, len(cj) - L, 4):
+                    tok = cj[s:s+L]
+                    if tok not in ci:
+                        found = tok
+                        break
+                if found:
+                    t["forbid"].append(found)
+                    break
+
+    # evaluate events (exact per-chunk (content, type) sets)
+    eok = True
+    eemit = [[] for _ in contents]
+    for t in events:
+        for j in efires(t):
+            eemit[j].append((t["content"], t["type"]))
+    for i, it in enumerate(d):
+        gold = {(e["content"], e.get("type", "")) for e in it["metadata"].get("events", [])}
+        got = set(eemit[i])
+        for x in got - gold:
+            print(f"EVENT FP chunk {i}: {x[0][:40]}")
+            eok = False
+        for x in gold - got:
+            print(f"EVENT FN chunk {i}: {x[0][:40]}")
+            eok = False
+    print(f"events exact-match: {eok} ({len(events)} specs)")
+
     # entity gazetteer: every distinct entity with its evidence
     ents = {}
     for i, it in enumerate(d):
@@ -177,11 +271,15 @@ def main():
         "triples": [{k: t[k] for k in
                      ("subj", "pred", "obj", "description", "evidence", "forbid")}
                     for t in triples],
+        "events": [{k: t[k] for k in
+                    ("content", "type", "participants", "evidence", "forbid", "ord")}
+                   for t in events],
     }
     import os
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     json.dump(kb, open(OUT, "w", encoding="utf-8"), ensure_ascii=False, indent=1)
-    print(f"wrote {OUT}: {len(kb['entities'])} entities, {len(kb['triples'])} triples")
-    sys.exit(0 if ok else 1)
+    print(f"wrote {OUT}: {len(kb['entities'])} entities, "
+          f"{len(kb['triples'])} triples, {len(kb['events'])} events")
+    sys.exit(0 if (ok and eok) else 1)
 
 main()
