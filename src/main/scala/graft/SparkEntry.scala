@@ -87,6 +87,20 @@ object SparkEntry {
     "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
     "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
     "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topK(s, d)),
+    // --- retrieval read path (SURVEY.md §2.5) ---
+    "retrieval_rrf" -> ((s, d) => graft.retrieval.Retrieval.rrf(
+      graft.retrieval.Retrieval.multipath(s, d, "spark join vector"))),
+    "retrieval_threshold" -> ((s, d) =>
+      graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.4).select("vec_id")),
+    "retrieval_rerank" -> ((s, d) => graft.retrieval.Retrieval.rerank(
+      s, d, "spark join vector", Tables.documents(s, d).select("doc_id"))),
+    // --- chunker family (C2-C4; library ops, rows-only checks) ---
+    "chunk_token_windows" -> ((s, d) => chunkQuery(s, d,
+      t => graft.chunk.TextSplitters.splitTextOnTokens(t, 64, 8))),
+    "chunk_recursive" -> ((s, d) => chunkQuery(s, d,
+      t => graft.chunk.TextSplitters.recursiveSplit(t, 200, 20, List(". ", " ")))),
+    "chunk_semantic" -> ((s, d) => chunkQuery(s, d,
+      t => graft.chunk.TextSplitters.semanticSplit(t))),
     // --- multimodal plumbing ---
     "mm_decode_meta" -> ((s, d) => graft.mm.MultimodalOps.decodeMeta(s, d)),
     // --- time-window aggregation over the events table ---
@@ -100,6 +114,18 @@ object SparkEntry {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+
+  /** Documents text through a pure splitter, exploded with ordinals —
+    * the narrow flatMap shape every chunker runs as in the pipeline. */
+  private def chunkQuery(s: SparkSession, d: String,
+      split: String => Seq[String]): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) =>
+        split(t).zipWithIndex.map { case (c, i) => (id, i, c) }
+      }
+      .toDF("doc_id", "ord", "chunk")
+  }
 
   /** Tumbling 1-hour window aggregate over the events stream table —
     * Spark's `window()` (the batch form of the Structured Streaming
@@ -286,6 +312,9 @@ object SparkEntry {
           |    || ',' || md5(substring(text, 201, 100)) || ',' || md5(substring(text, 301, 100))
           |    AS frames_joined
           |FROM documents""".stripMargin,
+      "retrieval_threshold" ->
+        """SELECT b.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          |WHERE a.vec_id = 0 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
       "q_time_window" ->
         """SELECT date_trunc('hour', ts) AS window_start, event_type,
           |       count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -1,0 +1,115 @@
+package graft.retrieval
+
+import graft.Tables
+import graft.embed.{CosineSimilarity, HashingEmbedder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's retrieval surface re-expressed relationally
+  * (SURVEY.md §2.5): every retriever maps a query to a scored
+  * DataFrame (doc_id, score, rank) — the `BaseRetriever.invoke ->
+  * List[Document]` contract (reference core/retrieval/base.py:35-96)
+  * with the list replaced by a lazily-composable frame, so fan-out,
+  * fusion and rerank are plain unions/aggregates the optimizer can see.
+  */
+trait Retriever {
+  def name: String
+  /** Scored results, best first: (doc_id LONG, score DOUBLE). */
+  def retrieve(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame
+}
+
+/** Sparse retrieval — BM25Okapi semantics via graft.ops.BM25Ops
+  * (reference core/retrieval/bm25.py:276-317). */
+final class Bm25Retriever extends Retriever {
+  val name = "bm25"
+  def retrieve(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame =
+    graft.ops.BM25Ops.topK(spark, sfDir,
+      query.trim.split("\\s+").toSeq, k)
+      .select(col("doc_id"), col("score").cast("double").as("score"))
+}
+
+/** Dense retrieval over the hashing embedder — the FAISS search path
+  * (reference VectorStore_Faiss.py:225-274) with the index replaced by
+  * a scan + codegen'd cosine; LSH pre-filter is the scale path
+  * (graft.ops.VectorOps.annTopKLsh machinery). */
+final class DenseRetriever extends Retriever {
+  val name = "dense"
+  def retrieve(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
+    val qv = HashingEmbedder.embed(query.toLowerCase).toSeq
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        CosineSimilarity(
+          udf((s: String) => HashingEmbedder.embed(s.toLowerCase)).apply(col("text")),
+          typedLit(qv)).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+}
+
+object Retrieval {
+
+  /** R4 score-threshold search: metric-specific relevance transform
+    * then filter (reference VectorStoreBase.py:259-273 — cosine:
+    * rel = 1 - d where d = 1 - cos, i.e. rel = cos clamped). */
+  def thresholdSearch(spark: SparkSession, sfDir: String, queryVecId: Long,
+      threshold: Double): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    emb.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("vec_id"),
+        CosineSimilarity(col("embedding"), col("qv")).as("rel"))
+      .filter(col("rel") >= threshold)
+  }
+
+  /** R6 multipath fan-out: run each retriever at `kPer`, tag with
+    * retriever name + dense rank (reference mutipath.py:37-93). */
+  def multipath(spark: SparkSession, sfDir: String, query: String,
+      retrievers: Seq[Retriever] = Seq(new Bm25Retriever, new DenseRetriever),
+      kPer: Int = 50): DataFrame = {
+    retrievers.map { r =>
+      r.retrieve(spark, sfDir, query, kPer)
+        .withColumn("retriever", lit(r.name))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(lit(1)).orderBy(desc("score"), asc("doc_id"))))
+        .select("retriever", "doc_id", "score", "rank")
+    }.reduce(_.unionByName(_))
+  }
+
+  /** R7 reciprocal-rank fusion over the multipath output:
+    * score = sum over lists of 1/(60 + rank), top-k
+    * (reference core/utils/Fusion.py:35-76). */
+  def rrf(fanout: DataFrame, k: Int = 20, kConst: Int = 60): DataFrame =
+    fanout
+      .groupBy("doc_id")
+      .agg(sum(lit(1.0) / (lit(kConst) + col("rank"))).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+      .limit(k)
+
+  /** R8 rerank: the reference scores (query, doc) pairs with a
+    * yes/no-token LLM probability in batches of 8
+    * (Reranker_Qwen3.py:41-75). The model is STUBBED deterministically
+    * (hashing-embedder cosine stands in for the LLM score); the
+    * Spark-side shape is real: mapPartitions with fixed-size batches,
+    * then a global top-k sort. Swap `stubScore` for a model call. */
+  def rerank(spark: SparkSession, sfDir: String, query: String,
+      candidates: DataFrame, k: Int = 10, batchSize: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qv = HashingEmbedder.embed(query.toLowerCase)
+    def stubScore(text: String): Double =
+      HashingEmbedder.cosine(qv, HashingEmbedder.embed(text.toLowerCase))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    candidates.select("doc_id").join(docs, "doc_id")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch => // model-call batch shape
+          batch.map { case (id, text) => (id, stubScore(text)) }
+        }
+      }
+      .toDF("doc_id", "rerank_score")
+      .orderBy(desc("rerank_score"), asc("doc_id"))
+      .limit(k)
+  }
+}

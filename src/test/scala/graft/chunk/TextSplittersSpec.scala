@@ -1,0 +1,97 @@
+package graft.chunk
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSplittersSpec extends AnyFunSuite {
+  import TextSplitters._
+
+  /** Seeded property loop (no scalacheck-scalatest bridge in the
+    * offline cache): 200 random mixed-alphabet strings. */
+  private def forAllTexts(f: String => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ019   \n\n..?!##,质量检验"
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(120)
+      f(Vector.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+  }
+
+  test("tokenizer is lossless: concat(encode(t)) == t") {
+    forAllTexts { t => assert(encode(t).mkString == t) }
+  }
+
+  test("token windows: full coverage with exact overlap") {
+    val text = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val ids = encode(text)
+    val chunks = splitTextOnTokens(text, tokensPerChunk = 16, chunkOverlap = 4)
+    // stride 12: windows [0,16) [12,28) [24,40) ...
+    assert(chunks.head == ids.take(16).mkString)
+    assert(chunks(1) == ids.slice(12, 28).mkString)
+    // every token id position covered
+    val n = ids.length
+    val starts = Iterator.iterate(0)(_ + 12).takeWhile(_ < n).toVector
+    assert(chunks.length <= starts.length)
+    assert(chunks.last.nonEmpty)
+  }
+
+  test("token windows: short text is one chunk; empty is none") {
+    assert(splitTextOnTokens("short text", 100, 10) == Vector("short text"))
+    assert(splitTextOnTokens("", 100, 10).isEmpty)
+  }
+
+  test("recursive split: every chunk fits chunkSize") {
+    forAllTexts { t =>
+      val chunks = recursiveSplit(t, chunkSize = 20, chunkOverlap = 0)
+      chunks.foreach(c => assert(c.length <= 20))
+    }
+  }
+
+  test("recursive split: non-separator characters preserved in order") {
+    forAllTexts { t =>
+      val chunks = recursiveSplit(t, chunkSize = 20, chunkOverlap = 0)
+      def strip(s: String) = s.replace("\n", "").replace("#", "")
+      assert(strip(chunks.mkString) == strip(t))
+    }
+  }
+
+  test("recursive split: greedy packing splits on the coarsest separator first") {
+    val text = "aaaa\n\nbbbb\n\ncccc"
+    assert(recursiveSplit(text, chunkSize = 9) == Vector("aaaabbbb", "cccc"))
+    // small size forces descent to the leaf fixed-length chunker
+    val leaf = recursiveSplit("abcdefghij", chunkSize = 4, chunkOverlap = 1)
+    assert(leaf == Vector("abcd", "defg", "ghij", "j"))
+  }
+
+  test("percentile matches numpy linear interpolation") {
+    assert(percentile(Seq(1, 2, 3, 4), 50) == 2.5)
+    assert(math.abs(percentile(Seq(1, 2, 3, 4), 95) - 3.85) < 1e-9)
+    assert(percentile(Seq(7), 95) == 7.0)
+  }
+
+  test("gradient matches numpy central differences") {
+    assert(gradient(IndexedSeq(1.0, 2.0, 4.0, 7.0)) ==
+      IndexedSeq(1.0, 1.5, 2.5, 3.0))
+  }
+
+  test("semantic split: single sentence passes through, grouping covers all sentences") {
+    assert(semanticSplit("no breaks here") == Vector("no breaks here"))
+    val text = (1 to 12).map { i =>
+      if (i <= 6) s"quality report item $i." else s"totally different topic $i."
+    }.mkString(" ")
+    val chunks = semanticSplit(text, method = Percentile, amount = Some(80))
+    assert(chunks.nonEmpty)
+    val sentences = text.split("(?<=[.?!])\\s+", -1).toVector
+    assert(chunks.flatMap(_.split("(?<=[.?!])\\s+", -1)) == sentences)
+    // deterministic
+    assert(semanticSplit(text, method = Percentile, amount = Some(80)) == chunks)
+  }
+
+  test("semantic split: all four breakpoint methods run and cover the text") {
+    val text = (1 to 10).map(i => s"sentence number $i goes here.").mkString(" ")
+    for (m <- Seq(Percentile, StandardDeviation, Interquartile, Gradient)) {
+      val chunks = semanticSplit(text, method = m)
+      assert(chunks.nonEmpty, m.toString)
+      assert(chunks.mkString(" ").length >= text.length - 5, m.toString)
+    }
+  }
+}
