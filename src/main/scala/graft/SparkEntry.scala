@@ -64,6 +64,7 @@ object SparkEntry {
       .select("subj_id", "pred", "obj_id", "n_sources")),
     "kg_events" -> ((s, d) => kg(s, d).events
       .select("event_id", "chunk_id", "content", "event_type")),
+    "kg_stats" -> ((s, d) => graft.sink.GraphSink.stats(kg(s, d))),
     "kg_participates" -> ((s, d) => kg(s, d).participates),
     "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
     // --- relational core (SURVEY.md §2.6) ---

@@ -1,0 +1,96 @@
+package graft.sink
+
+import graft.pipeline.KGPipeline
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph materialization (SURVEY.md §2.4 G3-G7, G14, G15): the
+  * reference upserts nodes/edges one Cypher MERGE per row into Neo4j
+  * (reference event_graphrag_neo4j.py:302-558); here the same final
+  * graph lands as two partitioned tables written in bulk:
+  *
+  *   nodes(label, node_id, name, content, props...)   partitioned by label
+  *   edges(edge_type, src, dst, rank, n_sources)      partitioned by edge_type
+  *
+  * Labels/edge types mirror the reference node classes
+  * (GraphNode.py:24-173) and relationship names: Chunk/Event/Entity
+  * nodes; ENTITY_RELATION (typed), CONTAINS (chunk->event), MENTIONS
+  * (chunk->entity), PARTICIPATES_IN (entity->event), SIMILAR_TO
+  * (event->event). Partition-by-label makes G15's delete-by-class an
+  * O(1) metadata drop instead of a scan.
+  */
+object GraphSink {
+
+  /** Unified labeled node table from the pipeline result. */
+  def nodes(r: KGPipeline.Result): DataFrame = {
+    val chunkNodes = r.chunks.toDF()
+      .select(lit("Chunk").as("label"), col("chunk_id").as("node_id"),
+        col("header_name").as("name"), col("content"))
+      .dropDuplicates("node_id")
+    val eventNodes = r.events
+      .select(lit("Event").as("label"), col("event_id").as("node_id"),
+        col("event_type").as("name"), col("content"))
+    val entityNodes = r.entities
+      .select(lit("Entity").as("label"), col("canonical_id").as("node_id"),
+        col("entity_name").as("name"),
+        concat_ws(" | ", col("descriptions")).as("content"))
+    chunkNodes.unionByName(eventNodes).unionByName(entityNodes)
+  }
+
+  /** Unified typed edge table: the five reference relationship classes. */
+  def edges(r: KGPipeline.Result): DataFrame = {
+    val entityRel = r.edges.select(
+      lit("ENTITY_RELATION").as("edge_type"), col("pred"),
+      col("subj_id").as("src"), col("obj_id").as("dst"),
+      lit(0).as("rank"), col("n_sources"))
+    val contains = r.events.select(
+      lit("CONTAINS").as("edge_type"), lit(null: String).as("pred"),
+      col("chunk_id").as("src"), col("event_id").as("dst"),
+      lit(0).as("rank"), lit(1L).as("n_sources"))
+    val mentions = r.mentions
+      .join(r.nameMap, r.mentions("entityName") === r.nameMap("entity_name"))
+      .select(lit("MENTIONS").as("edge_type"), lit(null: String).as("pred"),
+        col("chunk_id").as("src"), col("canonical_id").as("dst"),
+        lit(0).as("rank"), lit(1L).as("n_sources"))
+      .dropDuplicates("src", "dst")
+    val participates = r.participates.select(
+      lit("PARTICIPATES_IN").as("edge_type"), lit(null: String).as("pred"),
+      col("canonical_id").as("src"), col("event_id").as("dst"),
+      lit(0).as("rank"), lit(1L).as("n_sources"))
+    val similar = r.eventSimilar.select(
+      lit("SIMILAR_TO").as("edge_type"), lit(null: String).as("pred"),
+      col("src_event").as("src"), col("dst_event").as("dst"),
+      col("rank"), lit(1L).as("n_sources"))
+    entityRel.unionByName(contains).unionByName(mentions)
+      .unionByName(participates).unionByName(similar)
+  }
+
+  /** Write both tables partitioned by class (bulk write — the
+    * set-semantics dedup already happened upstream, so no MERGE). */
+  def write(r: KGPipeline.Result, outDir: String): Unit = {
+    nodes(r).write.mode(SaveMode.Overwrite)
+      .partitionBy("label").parquet(s"$outDir/nodes")
+    edges(r).write.mode(SaveMode.Overwrite)
+      .partitionBy("edge_type").parquet(s"$outDir/edges")
+  }
+
+  /** G14 statistics: counts by node label and edge type
+    * (reference event_graphrag_neo4j.py:560-576 runs 13 count queries;
+    * one grouped aggregate replaces them). */
+  def stats(r: KGPipeline.Result): DataFrame = {
+    val n = nodes(r).groupBy(col("label").as("class")).count()
+      .withColumn("kind", lit("node"))
+    val e = edges(r).groupBy(col("edge_type").as("class")).count()
+      .withColumn("kind", lit("edge"))
+    n.unionByName(e).select("kind", "class", "count")
+  }
+
+  /** G15 delete-by-class (reference event_graphrag_neo4j.py:578-598):
+    * with label-partitioned tables this is a partition drop. */
+  def deleteClass(spark: SparkSession, outDir: String, label: String): Unit = {
+    val path = s"$outDir/nodes/label=$label"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.pipeline.KGPipeline
+import org.apache.spark.sql.functions._
+
+class GraphSinkSpec extends SparkSpec {
+
+  private lazy val result = KGPipeline.run(spark, 150, partitions = 4)
+
+  test("nodes carry the three labels; edges the five types") {
+    val labels = GraphSink.nodes(result).select("label").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(labels == Set("Chunk", "Event", "Entity"))
+    val types = GraphSink.edges(result).select("edge_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains("CONTAINS"))
+    assert(types.contains("MENTIONS"))
+    assert(types.contains("PARTICIPATES_IN"))
+    assert(types.contains("ENTITY_RELATION"))
+  }
+
+  test("edge endpoints resolve to existing nodes (no dangling)") {
+    val nodeIds = GraphSink.nodes(result).select(col("node_id")).distinct()
+    val e = GraphSink.edges(result)
+    val danglingSrc = e.join(nodeIds, e("src") === nodeIds("node_id"), "left_anti")
+    val danglingDst = e.join(nodeIds, e("dst") === nodeIds("node_id"), "left_anti")
+    assert(danglingSrc.count() == 0)
+    assert(danglingDst.count() == 0)
+  }
+
+  test("write partitions by class; stats match; delete-by-class drops a partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    GraphSink.write(result, dir)
+    val nodesBack = spark.read.parquet(s"$dir/nodes")
+    val statRows = GraphSink.stats(result).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val entityCount = nodesBack.filter(col("label") === "Entity").count()
+    assert(statRows(("node", "Entity")) == entityCount)
+    assert(new java.io.File(s"$dir/nodes/label=Event").isDirectory)
+    GraphSink.deleteClass(spark, dir, "Event")
+    assert(!new java.io.File(s"$dir/nodes/label=Event").exists())
+    // remaining classes untouched
+    val after = spark.read.parquet(s"$dir/nodes")
+      .select("label").distinct().collect().map(_.getString(0)).toSet
+    assert(after == Set("Chunk", "Entity"))
+  }
+}
