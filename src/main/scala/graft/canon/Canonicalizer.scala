@@ -31,6 +31,9 @@ object Canonicalizer {
   val MergeThreshold = 0.95
   val Salts = 16
   val ListCap = 64
+  /** Max distinct members per LSH band key before the band is dropped
+    * as pathological (quadratic join cost, ~no similarity signal). */
+  val MaxBandSize = 10000
 
   /** Decoration suffixes from the reference clean prompt. */
   private val decorations = Seq("装置", "产品", "类型", "某某", "一种")
@@ -101,13 +104,19 @@ object Canonicalizer {
       .withColumn("name_key", lower(col("norm_name")))
       .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(Salts)))
 
+    // `aliases` (the distinct raw surfaces per normalized key) is the
+    // ONLY uncapped accumulator: it is vocabulary-bounded (case and
+    // decoration variants of one name), not mention-bounded like
+    // descriptions/chunks, and nameMap correctness needs every raw
+    // surface — triples whose surface fell off a cap would silently
+    // drop at the endpoint rewrite.
     val partial = keyed
       .groupBy("name_key", "salt")
       .agg(
         count(lit(1)).as("n_mentions"),
         min("norm_name").as("display_name"),
         min("entityType").as("entity_type"),
-        slice(sort_array(collect_set("entityName")), 1, ListCap).as("aliases"),
+        sort_array(collect_set("entityName")).as("aliases"),
         slice(sort_array(collect_set("entityDescription")), 1, ListCap).as("descriptions"),
         slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
 
@@ -122,19 +131,35 @@ object Canonicalizer {
         sum("n_mentions").as("n_mentions"),
         min("display_name").as("display_name"),
         min("entity_type").as("entity_type"),
-        slice(sort_array(flatten(collect_set("aliases"))), 1, ListCap).as("aliases"),
+        array_distinct(sort_array(flatten(collect_set("aliases")))).as("aliases"),
         slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
         slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
       .withColumn("embedding", embedUdf(col("display_name")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
+
+    // raw surface -> normalized key, recovered from the aggregated
+    // alias sets (tiny) instead of re-exploding the mention stream
+    val rawKeys = names
+      .select(col("name_key"), explode(col("aliases")).as("entityName"))
 
     probe("mentionsIn")(mentions.count())
     probe("partialAgg")(partial.count())
     probe("namesAgg")(names.count())
 
     // ---- G9 MinHash-LSH candidates + cosine verify ---------------------
-    val banded = names.select(col("name_key"), col("embedding"),
+    // hot-band guard (SURVEY.md §4.3): a band key shared by k names
+    // contributes k^2/2 candidate pairs; beyond the cap the band carries
+    // ~no signal (it is a degenerate hash, e.g. of near-empty shingle
+    // sets) but quadratic cost, so it is dropped. 128 minhashes over
+    // 32 bands make a *real* near-dup cluster collide on many bands, so
+    // dropping the pathological ones costs ~no recall.
+    val banded0 = names.select(col("name_key"), col("embedding"),
         explode(bandsUdf(col("display_name"))).as("band"))
+    val banded = banded0.join(
+      banded0.groupBy("band").agg(count(lit(1)).as("band_n"))
+        .filter(col("band_n") <= MaxBandSize)
+        .select("band"),
+      Seq("band"))
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
@@ -169,10 +194,9 @@ object Canonicalizer {
         slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
 
     // raw name -> canonical id (for triple endpoint rewrite)
-    val nameMap = keyed.select(col("entityName"), col("name_key")).distinct()
+    val nameMap = rawKeys
       .join(comps.withColumnRenamed("id", "name_key"), "name_key")
       .select(col("entityName").as("entity_name"), col("component").as("canonical_id"))
-      .distinct()
 
     (canonical, nameMap)
   }

@@ -109,8 +109,15 @@ object DedupOps {
         else MinHasher.bandKeys(MinHasher.signature(sh)).iterator.map(b => (id, b))
       }
     }.toDF("doc_id", "band")
-    val cands = banded.as("a")
-      .join(banded.as("b"),
+    // hot-band guard (same rationale as Canonicalizer.MaxBandSize): a
+    // band shared by k docs costs k^2/2 join rows with ~no signal
+    val guarded = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= graft.canon.Canonicalizer.MaxBandSize)
+        .select("band"),
+      Seq("band"))
+    val cands = guarded.as("a")
+      .join(guarded.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

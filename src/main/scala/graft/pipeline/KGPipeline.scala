@@ -85,11 +85,12 @@ object KGPipeline {
   final case class Extraction(
       mentions: DataFrame, triples: DataFrame, events: DataFrame)
 
-  def extract(spark: SparkSession, chunks: Dataset[ChunkRow]): Extraction = {
+  def extract(spark: SparkSession, chunks: Dataset[ChunkRow],
+      stageDir: Option[String] = None): Extraction = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       new TripleExtractor(KnowledgeBase.load().withAliases))
-    val both = chunks.mapPartitions { it =>
+    val raw = chunks.mapPartitions { it =>
       val ex = bc.value
       val seen = scala.collection.mutable.HashSet.empty[String]
       it.flatMap { c =>
@@ -103,7 +104,22 @@ object KGPipeline {
       }
     }.toDF("chunk_id", "mentions", "triples", "events")
       .dropDuplicates("chunk_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The extraction result fans out to ~10 downstream consumers. Two
+    // sharing modes:
+    //  - stageDir set (production/bench shape): write once, re-read — a
+    //    parquet scan is column-prunable AND truncates the logical plan,
+    //    so the driver stops re-optimizing the whole chunk+extract tree
+    //    for every downstream action (localCheckpoint would truncate too
+    //    but its RDD scan defeats column pruning);
+    //  - no stageDir (small interactive runs): columnar persist.
+    val both = stageDir match {
+      case Some(dir) =>
+        raw.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/extraction")
+        spark.read.parquet(s"$dir/extraction")
+      case None =>
+        raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val mentions = both
       .select(col("chunk_id"), explode(col("mentions")).as("m"))
       .select(col("chunk_id"),
@@ -145,10 +161,10 @@ object KGPipeline {
   /** Same DAG over an externally supplied pages table (the real job
     * shape: spark.read over the Iceberg/parquet pages table). */
   def runOnPages(spark: SparkSession, pages: Dataset[Page],
-      fromHtml: Boolean = true): Result = {
+      fromHtml: Boolean = true, stageDir: Option[String] = None): Result = {
     import spark.implicits._
     val chunks = chunk(pages, fromHtml)
-    val ex = extract(spark, chunks)
+    val ex = extract(spark, chunks, stageDir)
     val (mentions, triples, events) = (ex.mentions, ex.triples, ex.events)
     // chunkId in mentions/triples refers to the distinct chunk; re-join
     // provenance (all urls containing the chunk) happens on demand
@@ -157,7 +173,7 @@ object KGPipeline {
     // nameMap feeds three joins (subj/obj endpoint rewrite +
     // participant resolution) — persist so the canonicalization subtree
     // computes once per action
-    val nameMap = nameMap0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nameMap = nameMap0.localCheckpoint(true)
     val edges = Canonicalizer.rewriteTriples(
       triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
     // G7 PARTICIPATES_IN: explode participants, resolve through the

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's aggregations. The
+  * reference is strictly batch (SURVEY.md §2.6), so these are the
+  * streaming-native extensions a production ingest of the same events
+  * table would use: watermarked tumbling-window aggregation, watermarked
+  * stream dedup, and custom sessionization state via
+  * mapGroupsWithState. Each is a pure transform over a (possibly
+  * streaming) DataFrame — the caller owns readStream/writeStream.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour windowed aggregate with a 2-hour watermark —
+    * the streaming form of SparkEntry.timeWindowAgg (late events beyond
+    * the watermark are dropped; state is bounded per window+type). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked exactly-once-per-key dedup (the streaming form of the
+    * chunk-exists filter S11/G2): duplicates of event_id arriving within
+    * the watermark horizon are dropped; state expires with it. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Click(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+  final case class SessionState(n: Long, lastMs: Long)
+
+  /** Per-user sessionization — the KeyValueGroupedDataset
+    * .mapGroupsWithState custom-state path. Emits the running event
+    * count per user; with `gapMs > 0` a processing-time timeout closes
+    * idle sessions (production mode; tests use gapMs = 0 since
+    * processing-time timeouts schedule continuous empty batches that
+    * `processAllAvailable` never sees as terminal). */
+  def sessionize(clicks: Dataset[Click],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[SessionUpdate] = {
+    import clicks.sparkSession.implicits._
+    val timeoutConf =
+      if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    clicks
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(timeoutConf)(
+        (user: Long, rows: Iterator[Click], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(user, s.n, closed = true)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val batch = rows.toVector
+            val next = SessionState(prev.n + batch.size,
+              batch.map(_.ts.getTime).foldLeft(prev.lastMs)(math.max))
+            state.update(next)
+            if (gapMs > 0) state.setTimeoutDuration(gapMs)
+            SessionUpdate(user, next.n, closed = false)
+          })
+  }
+}
