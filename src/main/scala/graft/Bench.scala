@@ -220,9 +220,11 @@ object Bench {
       // best-of-2 per level: this VM shows ±20-30% run-to-run noise
       // (hypervisor CPU steal); the minimum is the standard estimator
       // for the machine's actual capability
+      val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       def best(cp: Int) = {
         val a = kgRunForked(cp, pagesDir)
         val b = kgRunForked(cp, pagesDir)
+        raw += ((cp, a._1)); raw += ((cp, b._1))
         if (a._1 <= b._1) a else b
       }
       val (t1, _, _) = best(n1)
@@ -230,7 +232,10 @@ object Bench {
       val (t3, triples, edges) = best(cpus)
       val eff = (t1 / t2) / (n2.toDouble / n1)
       val effHigh = (t2 / t3) / (cpus.toDouble / n2)
+      val rawJson = raw.map { case (c, t) => f"""{"cores":$c,"sec":$t%.3f}""" }
+        .mkString("[", ",", "]")
       f"""{"pages":$kgPages,"triples":$triples,"edges":$edges,""" +
+        f""""all_runs":$rawJson,""" +
         f""""n_small":$n1,"n_large":$n2,"n_xlarge":$cpus,""" +
         f""""sec_small":$t1%.3f,"sec_large":$t2%.3f,"sec_xlarge":$t3%.3f,""" +
         f""""pages_per_sec_xlarge":${kgPages / t3}%.1f,""" +
