@@ -125,17 +125,19 @@ object Canonicalizer {
     // chunk->extract subtree — without the persist that subtree executes
     // once per consumer. One row per distinct normalized name; spills to
     // disk at web scale.
-    val names = partial
-      .groupBy("name_key")
-      .agg(
-        sum("n_mentions").as("n_mentions"),
-        min("display_name").as("display_name"),
-        min("entity_type").as("entity_type"),
-        array_distinct(sort_array(flatten(collect_set("aliases")))).as("aliases"),
-        slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
-        slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
-      .withColumn("embedding", embedUdf(col("display_name")))
-      .localCheckpoint(true)
+    val names = graft.pipeline.Jobs.named(spark, "canon: distinct-name agg (G12)") {
+      partial
+        .groupBy("name_key")
+        .agg(
+          sum("n_mentions").as("n_mentions"),
+          min("display_name").as("display_name"),
+          min("entity_type").as("entity_type"),
+          array_distinct(sort_array(flatten(collect_set("aliases")))).as("aliases"),
+          slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
+          slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
+        .withColumn("embedding", embedUdf(col("display_name")))
+        .localCheckpoint(true)
+    }
 
     // raw surface -> normalized key, recovered from the aggregated
     // alias sets (tiny) instead of re-exploding the mention stream

@@ -41,11 +41,25 @@ object ConnectedComponents {
         .filter(col("src") =!= col("dst"))
         .distinct()
 
-    var edges = edgesIn.filter(col("src") =!= col("dst"))
+    // Single-job size gate: fetch up to localSolveMax+1 deduped edges.
+    // On the small post-LSH entity graphs (every test/bench scale) this
+    // replaces checkpoint + count + collect — three sequential driver
+    // barriers — with ONE job; past the cap it costs one bounded fetch
+    // (CollectLimitExec stops pulling partitions once the limit is hit)
+    // before the O(log n)-round distributed fixpoint takes over.
+    val deduped = edgesIn.filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-      .localCheckpoint(true)
+    val gateN = math.min(localSolveMax, Int.MaxValue - 1L).toInt
+    val grabbed = graft.pipeline.Jobs.named(spark,
+      "cc: LSH-verify + size gate (single-job local path)") {
+      deduped.limit(gateN + 1).collect()
+    }
+    if (grabbed.length <= gateN) return localSolve(edgesIn, grabbed,
+      deduped.schema("src").dataType)
 
-    if (edges.count() <= localSolveMax) return localSolve(edgesIn, edges)
+    var edges = graft.pipeline.Jobs.named(spark, "cc: edge dedup checkpoint") {
+      deduped.localCheckpoint(true)
+    }
 
     var converged = false
     var iter = 0
@@ -73,11 +87,13 @@ object ConnectedComponents {
         .select(col("dst").as("u"), least(col("mn"), col("src")).as("v"))
       val attachSelf = minLow
         .select(col("src").as("u"), least(col("mn"), col("src")).as("v"))
-      val small = attachLows.union(attachSelf)
-        .filter(col("u") =!= col("v"))
-        .select(col("u").as("src"), col("v").as("dst"))
-        .distinct()
-        .localCheckpoint(true)  // cut lineage every round
+      val small = graft.pipeline.Jobs.named(spark, s"cc: round ${iter + 1} star passes") {
+        attachLows.union(attachSelf)
+          .filter(col("u") =!= col("v"))
+          .select(col("u").as("src"), col("v").as("dst"))
+          .distinct()
+          .localCheckpoint(true)  // cut lineage every round
+      }
 
       // convergence: edge set stable under (count, xor-of-hashes) —
       // xor is order-independent and cannot overflow under ANSI mode
@@ -108,13 +124,14 @@ object ConnectedComponents {
       .groupBy("id").agg(min("component").as("component"))
   }
 
-  /** Driver-side union-find over an already-deduped edge list (the
-    * size-gated fast path). Component representative is the min id
-    * under the same ordering Spark's `min` uses for the column type,
-    * so both paths produce identical output. */
-  private def localSolve(edgesIn: DataFrame, deduped: DataFrame): DataFrame = {
-    val spark = deduped.sparkSession
-    val dt = deduped.schema("src").dataType
+  /** Driver-side union-find over an already-collected deduped edge
+    * list (the size-gated fast path). Component representative is the
+    * min id under the same ordering Spark's `min` uses for the column
+    * type, so both paths produce identical output. */
+  private def localSolve(edgesIn: DataFrame,
+      collected: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edgesIn.sparkSession
     val lt: (Any, Any) => Boolean = dt match {
       case org.apache.spark.sql.types.StringType =>
         (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
@@ -132,7 +149,7 @@ object ConnectedComponents {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    deduped.collect().foreach { row =>
+    collected.foreach { row =>
       val (ra, rb) = (find(row.get(0)), find(row.get(1)))
       if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
     }

@@ -114,8 +114,10 @@ object KGPipeline {
     //  - no stageDir (small interactive runs): columnar persist.
     val both = stageDir match {
       case Some(dir) =>
-        raw.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$dir/extraction")
+        Jobs.named(spark, "extract: chunk+extract+dedup -> stage write") {
+          raw.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$dir/extraction")
+        }
         spark.read.parquet(s"$dir/extraction")
       case None =>
         raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -173,7 +175,9 @@ object KGPipeline {
     // nameMap feeds three joins (subj/obj endpoint rewrite +
     // participant resolution) — persist so the canonicalization subtree
     // computes once per action
-    val nameMap = nameMap0.localCheckpoint(true)
+    val nameMap = Jobs.named(spark, "canon: nameMap checkpoint") {
+      nameMap0.localCheckpoint(true)
+    }
     val edges = Canonicalizer.rewriteTriples(
       triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
     // G7 PARTICIPATES_IN: explode participants, resolve through the
