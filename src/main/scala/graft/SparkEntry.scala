@@ -76,6 +76,9 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => graft.ops.RelationalOps.semiJoin(s, d)),
     "q_join_agg" -> ((s, d) => graft.ops.RelationalOps.joinAgg(s, d)),
     "q_rrf_fusion" -> ((s, d) => graft.ops.RelationalOps.rrfFusion(s, d)),
+    "q_rollup" -> ((s, d) => graft.ops.RelationalOps.aggRollup(s, d)),
+    "q_cube" -> ((s, d) => graft.ops.RelationalOps.aggCube(s, d)),
+    "q_asof_join" -> ((s, d) => graft.ops.AsofJoin.clickToPriorPurchase(s, d)),
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => graft.dedup.DedupOps.exactGroups(s, d)),
     "dedup_exact_drop" -> ((s, d) => graft.dedup.DedupOps.exactDropList(s, d)),
@@ -212,6 +215,27 @@ object SparkEntry {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name""".stripMargin,
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+          |       count(*) AS count_order,
+          |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q_cube" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS revenue,
+          |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+      "q_asof_join" ->
+        """WITH clicks AS (
+          |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (
+          |  SELECT user_id, ts, max(event_id) AS purchase_id,
+          |         arg_max(value, event_id) AS pv
+          |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          |SELECT c.click_id, c.user_id, p.purchase_id,
+          |       round(p.pv, 6) AS purchase_value
+          |FROM clicks c ASOF LEFT JOIN p
+          |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
       "q_rrf_fusion" ->
         """WITH by_chars AS (
           |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank

@@ -91,6 +91,29 @@ object RelationalOps {
         round(sum("o_totalprice"), 2).as("revenue"))
   }
 
+  /** ROLLUP over the Q1 aggregation: per-(flag, status) subtotals plus
+    * per-flag and grand totals in ONE shuffle (Catalyst expands the
+    * grouping sets map-side; no second pass over the fact table).
+    * grouping_id disambiguates subtotal levels from real NULL keys. */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("count_order"),
+        grouping_id().as("gid"))
+
+  /** CUBE over orders: all 2^2 grouping sets of (status, priority) in
+    * one aggregate — the "counts by every class combination" G14-style
+    * statistic generalized. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        grouping_id().as("gid"))
+
   /** Reciprocal-rank fusion of two retrieval orderings
     * (reference Fusion.py:35-76: score = sum 1/(60+rank), dedup by doc,
     * sort desc, top-k). Rankings: by n_chars and by fingerprint — two

@@ -37,14 +37,20 @@ final class Lineage(
       compute.write.mode(SaveMode.Overwrite).parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val written = spark.read.parquet(path)
+      // one lineage row per committed file: these files ARE the next
+      // stage's input files, so (file, rows) is the input-file + row-
+      // range record the resume check consults (north rule: lineage =
+      // input file, row ranges, counts per partition)
       val partRows = written
-        .groupBy(spark_partition_id().as("partition_id"))
+        .groupBy(spark_partition_id().as("partition_id"),
+          input_file_name().as("file"))
         .agg(count(lit(1)).as("rows"))
         .withColumn("run_id", lit(runId))
         .withColumn("stage", lit(name))
         .withColumn("wall_ms", lit(wallMs))
         .withColumn("committed_at", current_timestamp())
-        .select("run_id", "stage", "partition_id", "rows", "wall_ms", "committed_at")
+        .select("run_id", "stage", "partition_id", "file", "rows",
+          "wall_ms", "committed_at")
       partRows.write.mode(SaveMode.Append).parquet(s"$outDir/_metrics")
     }
     spark.read.parquet(path)
