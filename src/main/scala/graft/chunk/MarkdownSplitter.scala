@@ -65,7 +65,7 @@ object MarkdownSplitter {
     }
 
     for (line <- text.split("\n", -1)) {
-      val stripped = line.strip().filter(isPrintable)
+      val stripped = strippedPrintable(line)
 
       if (!inCode) {
         if (stripped.startsWith("```") &&
@@ -97,6 +97,28 @@ object MarkdownSplitter {
     }
     flush()
     out.result()
+  }
+
+  /** `line.strip().filter(isPrintable)` without the per-char boxing of
+    * StringOps.filter, with a zero-allocation fast path for the common
+    * all-printable line (this runs once per input line — the hottest
+    * loop of the chunker per profile). */
+  private def strippedPrintable(line: String): String = {
+    val t = line.strip()
+    var i = 0
+    while (i < t.length && isPrintable(t.charAt(i))) i += 1
+    if (i == t.length) t
+    else {
+      val sb = new java.lang.StringBuilder(t.length)
+      sb.append(t, 0, i)
+      i += 1
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (isPrintable(c)) sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
   }
 
   private def countOccurrences(s: String, sub: String): Int = {

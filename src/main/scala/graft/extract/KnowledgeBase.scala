@@ -85,7 +85,7 @@ object KnowledgeBase {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (!Character.isWhitespace(c)) {
+      if (!graft.text.Chars.isWs(c)) {
         sb += (c match {
           case '（' => '('
           case '）' => ')'

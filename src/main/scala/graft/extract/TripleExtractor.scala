@@ -59,12 +59,22 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
   @transient private lazy val automaton: AhoCorasick =
     AhoCorasick(kb.patterns)
 
+  // The kill-list (E5) and the self-loop/same-name relation checks (E7)
+  // apply to KB-CONSTANT names, so they are evaluated once here at
+  // construction (driver side, pre-broadcast) by dropping dead specs —
+  // profiling showed the per-chunk regex evaluation of these constants
+  // was ~15% of extraction CPU.
   private val entitySpecs: Vector[(KbEntity, Vector[Int])] =
-    kb.entities.map(e => (e, e.evidence.map(patternIndex)))
+    kb.entities
+      .filter(e => EntityFilters.keep(e.name))
+      .map(e => (e, e.evidence.map(patternIndex)))
 
   private val tripleSpecs: Vector[(KbTriple, Vector[Int], Vector[Int])] =
-    kb.triples.map(t =>
-      (t, t.evidence.map(patternIndex), t.forbid.map(patternIndex)))
+    kb.triples
+      .filter(t => EntityFilters.keep(t.subj) && EntityFilters.keep(t.obj) &&
+        !t.subj.equalsIgnoreCase(t.obj))
+      .map(t =>
+        (t, t.evidence.map(patternIndex), t.forbid.map(patternIndex)))
 
   private val eventSpecs: Vector[(KbEvent, Vector[Int], Vector[Int])] =
     kb.events.map(e =>
@@ -87,8 +97,7 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     val mentions = Vector.newBuilder[Mention]
     entitySpecs.foreach { case (e, ids) =>
-      if (ids.nonEmpty && ids.forall(hits) && EntityFilters.keep(e.name) &&
-          seen.add(e.name)) {
+      if (ids.nonEmpty && ids.forall(hits) && seen.add(e.name)) {
         mentions += Mention(chunkId, url, e.evidence.headOption.getOrElse(e.name),
           e.name, e.entityType, e.description)
       }
@@ -99,10 +108,7 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     val triples = Vector.newBuilder[Triple]
     tripleSpecs.foreach { case (t, ev, fb) =>
       val fires = ev.nonEmpty && ev.forall(hits) && !fb.exists(hits)
-      if (fires &&
-          EntityFilters.keep(t.subj) && EntityFilters.keep(t.obj) &&
-          !t.subj.equalsIgnoreCase(t.obj) &&
-          seenT.add((t.subj, t.pred, t.obj))) {
+      if (fires && seenT.add((t.subj, t.pred, t.obj))) {
         triples += Triple(chunkId, url, t.subj, t.pred, t.obj, t.description)
       }
     }

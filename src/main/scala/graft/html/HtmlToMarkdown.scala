@@ -99,6 +99,7 @@ object HtmlToMarkdown {
   }
 
   def decode(s: String): String = {
+    if (s.indexOf('&') < 0) return s // fast path: nothing to decode
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -175,11 +176,19 @@ object HtmlToMarkdown {
       case Open("a", _, false, _) => inAnchor += 1
       case Close("a") => if (inAnchor > 0) inAnchor -= 1
       case Text(t) =>
+        // manual loop: StringOps.count boxes every char via an
+        // unspecialized Char => Boolean (hot path, every text token)
         val d = decode(t)
-        val len = d.count(!_.isWhitespace)
+        var j = 0
+        var len = 0
+        while (j < d.length) {
+          val c = d.charAt(j)
+          if (!graft.text.Chars.isWs(c)) len += 1
+          if (c == ',' || c == '，' || c == '、') commas += 1
+          j += 1
+        }
         textLen += len
         if (inAnchor > 0) anchorLen += len
-        commas += d.count(c => c == ',' || c == '，' || c == '、')
       case _ =>
     }
     textLen - 3.0 * anchorLen + 2.0 * commas
@@ -337,7 +346,7 @@ object HtmlToMarkdown {
     var pendingSpace = false
     while (i < n) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      if (graft.text.Chars.isWs(c)) { if (sb.length > 0) pendingSpace = true }
       else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
         sb.append(c)
