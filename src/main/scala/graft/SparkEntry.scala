@@ -38,6 +38,7 @@ object SparkEntry {
       val n = graft.pages.PagesGenerator.countForScale(Tables.scaleOf(d))
       val r = graft.pipeline.KGPipeline.run(s, n)
       r.copy(
+        chunks = r.chunks.persist(),
         mentions = r.mentions.persist(),
         triples = r.triples.persist(),
         events = r.events.persist(),
