@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the scale-critical plan properties the design
+  * relies on (SURVEY.md §4.2-4.3), asserted so a refactor that silently
+  * loses them fails CI rather than a 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan(RelationalOps.topK(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("star join broadcasts the dimension tables (no fact-side shuffle join)") {
+    val p = plan(RelationalOps.joinAgg(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("column pruning reaches the parquet scan (2-column projection reads 2 columns)") {
+    val p = plan(graft.SparkEntry.textStats(spark, sf0001))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("query-vector predicate pushes down to the embeddings scan") {
+    val p = plan(VectorOps.annTopK(spark, sf0001))
+    assert(p.contains("LessThan(vec_id,10)"), p)
+  }
+
+  test("anti join plans as a join, not a filter-after-materialize") {
+    val p = plan(RelationalOps.antiJoin(spark, sf0001))
+    assert(p.contains("LeftAnti"), p)
+  }
+}

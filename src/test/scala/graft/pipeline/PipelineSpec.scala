@@ -67,6 +67,22 @@ class PipelineSpec extends SparkSpec {
     assert(commits == 1L, "resumed run recommitted an upstream stage")
   }
 
+  test("canonicalization is a fixpoint: re-canonicalizing representatives is a no-op") {
+    // if two representatives were still >= 0.95-similar they would have
+    // been one component in round 1, so round 2 must produce singleton
+    // components only — the dedup-idempotence property (SURVEY.md §5.2)
+    val r = KGPipeline.run(spark, 150, partitions = 4)
+    val asMentions = r.entities.select(
+      col("entity_name").as("entityName"),
+      col("entity_type").as("entityType"),
+      lit("").as("entityDescription"),
+      col("canonical_id").as("chunkId"))
+    val (round2, _) = graft.canon.Canonicalizer.canonicalize(asMentions)
+    assert(round2.count() == r.entities.count(), "entity count changed on re-run")
+    assert(round2.filter(col("n_merged_names") > 1).count() == 0,
+      "representatives merged again on re-run")
+  }
+
   test("extraction on planted fragments matches a local single-threaded oracle") {
     import spark.implicits._
     val r = KGPipeline.run(spark, 80, partitions = 4)
