@@ -89,6 +89,7 @@ object SparkEntry {
     // --- similarity search family ---
     "ann_topk" -> ((s, d) => graft.ops.VectorOps.annTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => graft.ops.VectorOps.annTopKLsh(s, d)),
+    "ann_topk_ivf" -> ((s, d) => graft.ops.IvfIndex.ivfTopK(s, d)),
     "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
     "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
     "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topK(s, d)),

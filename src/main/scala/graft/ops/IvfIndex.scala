@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.Tables
+import graft.embed.{CosineSimilarity, HashingEmbedder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path for similarity search next to hyperplane LSH (SURVEY.md §2.5
+  * R3; the reference's FAISS store supports exactly these index
+  * families: flat / IVF / HNSW, VectorStore_Faiss.py:110-148).
+  *
+  * Structure (IVF-flat):
+  *  1. a deterministic coarse quantizer: a bounded hash-ordered sample
+  *     is collected and nlist centroids are chosen by greedy
+  *     farthest-point traversal (deterministic — no iterative k-means,
+  *     whose float-sum reduction order would make centroids depend on
+  *     partitioning);
+  *  2. every vector is assigned to its nearest centroid's list — a
+  *     narrow map against the broadcast centroid table. At real scale
+  *     the assigned table is written bucketed by list_id, making each
+  *     probe a partition-pruned scan;
+  *  3. a query probes only its nprobe nearest lists: candidates come
+  *     from an equi-join on list_id (never a cross product), verified
+  *     by exact cosine, then per-query top-k.
+  *
+  * Approximate by design => no SQL oracle; ScalaTest measures recall
+  * against the exact brute-force baseline.
+  */
+object IvfIndex {
+
+  /** Greedy farthest-point selection over a hash-ordered sample:
+    * start at the lowest-hash vector, repeatedly add the sample point
+    * with the largest cosine distance to its nearest chosen centroid.
+    * Deterministic: ties fall to the earlier sample position. */
+  def chooseCentroids(sample: Array[Array[Float]], nlist: Int): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    // nearest-chosen similarity per sample point, updated incrementally
+    val best = sample.map(v => HashingEmbedder.cosine(v, sample.head))
+    while (chosen.length < math.min(nlist, sample.length)) {
+      var worst = -1
+      var worstSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (best(i) < worstSim) { worstSim = best(i); worst = i }
+        i += 1
+      }
+      val c = sample(worst)
+      chosen += c
+      i = 0
+      while (i < sample.length) {
+        val s = HashingEmbedder.cosine(sample(i), c)
+        if (s > best(i)) best(i) = s
+        i += 1
+      }
+    }
+    chosen.toArray
+  }
+
+  /** Nearest-centroid ids for a vector, most similar first
+    * (deterministic: ties to the lower centroid id). */
+  def nearestLists(centroids: Array[Array[Float]], v: Array[Float],
+      n: Int): Array[Int] =
+    centroids.indices
+      .sortBy(i => (-HashingEmbedder.cosine(centroids(i), v), i))
+      .take(n).toArray
+
+  /** IVF-flat top-k for each query vector (vec_id < nQueries),
+    * excluding self. Same output shape as VectorOps.annTopK. */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+
+    // 1. bounded deterministic sample -> centroids (driver-side, tiny)
+    val sample = emb
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nlist * 4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = chooseCentroids(sample, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    // 2. narrow assignment against the broadcast quantizer
+    val assignUdf = udf((v: Seq[Float]) => nearestLists(bc.value, v.toArray, 1)(0))
+    val lists = emb.select(col("vec_id"), col("embedding"),
+      assignUdf(col("embedding")).as("list_id"))
+
+    // 3. probe nprobe lists per query; equi-join on list_id
+    val probeUdf = udf((v: Seq[Float]) => nearestLists(bc.value, v.toArray, nprobe))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(probeUdf(col("embedding"))).as("list_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    lists
+      .join(broadcast(queries), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        CosineSimilarity(col("embedding"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}
