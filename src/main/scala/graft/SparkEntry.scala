@@ -114,6 +114,7 @@ object SparkEntry {
     // --- text analysis ---
     "text_stats" -> ((s, d) => textStats(s, d)),
     "text_langid" -> ((s, d) => textLangId(s, d)),
+    "text_bpe_tokens" -> ((s, d) => textBpeTokens(s, d)),
     "text_fingerprint" -> ((s, d) => textFingerprint(s, d)),
     "text_quality" -> ((s, d) => textQuality(s, d))
   )
@@ -153,6 +154,10 @@ object SparkEntry {
       nonAsciiCount(col("text")).as("n_nonascii"),
       meanTokenLen(col("text")).as("mean_tok_len"))
   }
+
+  def textBpeTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.text.TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
   def textLangId(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
@@ -286,6 +291,10 @@ object SparkEntry {
            |  WHEN $fr >= $es THEN 'fr'
            |  ELSE 'es' END AS pred_lang
            |FROM documents""".stripMargin,
+      "text_bpe_tokens" ->
+        """SELECT doc_id, len(regexp_extract_all(text,
+          |  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens
+          |FROM documents""".stripMargin,
       "dedup_minhash_lsh" ->
         s"""WITH toks AS (SELECT doc_id, $toksLower AS t FROM documents),
            |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle

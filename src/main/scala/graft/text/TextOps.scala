@@ -94,6 +94,22 @@ object TextOps {
       * (lit(1.0) - least(digitRatio * 2, lit(1.0))), 6)
   }
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 family shape:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs) restricted to constructs with identical
+    * semantics in Java regex and RE2, so the DuckDB oracle can run the
+    * same pattern (the original's `\s+(?!\S)` lookahead is dropped —
+    * it only affects how trailing whitespace groups, which a count
+    * ignores). */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches. Unlike the
+    * whitespace count, CJK text tokenizes as letter runs and
+    * punctuation separates — the closer proxy for model token cost. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenPattern)).cast("long")
+
   /** Normalized-content fingerprint: md5 of lowercased,
     * whitespace-collapsed, trimmed text (rolling-hash stand-in that is
     * exactly reproducible in any SQL engine).
