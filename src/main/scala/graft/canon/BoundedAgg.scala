@@ -1,0 +1,67 @@
+package graft.canon
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded-state distinct-min accumulators: the smallest `cap` distinct
+  * values of a group, with O(cap) aggregation state per group.
+  *
+  * `slice(sort_array(collect_set(x)), 1, cap)` computes the same set,
+  * but collect_set holds EVERY distinct value until the final slice —
+  * on a hot entity (10^7 source chunks) that is an unbounded map-side
+  * buffer and the documented spill risk (SURVEY.md §4.3/§7.4#4). These
+  * aggregators enforce the cap during accumulation, so the hottest key
+  * costs the same state as a cold one. Order-independent (set + total
+  * order), hence deterministic under any partitioning.
+  */
+object BoundedAgg {
+
+  /** Sorted-ascending distinct insert, capped: keeps the smallest
+    * `cap`. Early-outs when the buffer is full and x can't enter. */
+  private def insert(buf: List[String], x: String, cap: Int): List[String] = {
+    if (x == null) buf
+    else if (buf.lengthCompare(cap) >= 0 && buf.last <= x) buf
+    else if (buf.contains(x)) buf
+    else {
+      val (lt, ge) = buf.span(_ < x)
+      val merged = lt ::: (x :: ge)
+      if (merged.lengthCompare(cap) > 0) merged.take(cap) else merged
+    }
+  }
+
+  final class DistinctMinOfStrings(cap: Int)
+      extends Aggregator[String, List[String], Seq[String]] {
+    def zero: List[String] = Nil
+    def reduce(b: List[String], a: String): List[String] = insert(b, a, cap)
+    def merge(a: List[String], b: List[String]): List[String] =
+      b.foldLeft(a)((acc, x) => insert(acc, x, cap))
+    def finish(r: List[String]): Seq[String] = r
+    def bufferEncoder = ExpressionEncoder[List[String]]()
+    def outputEncoder = ExpressionEncoder[Seq[String]]()
+  }
+
+  final class DistinctMinOfArrays(cap: Int)
+      extends Aggregator[Seq[String], List[String], Seq[String]] {
+    def zero: List[String] = Nil
+    def reduce(b: List[String], a: Seq[String]): List[String] =
+      if (a == null) b else a.foldLeft(b)((acc, x) => insert(acc, x, cap))
+    def merge(a: List[String], b: List[String]): List[String] =
+      b.foldLeft(a)((acc, x) => insert(acc, x, cap))
+    def finish(r: List[String]): Seq[String] = r
+    def bufferEncoder = ExpressionEncoder[List[String]]()
+    def outputEncoder = ExpressionEncoder[Seq[String]]()
+  }
+
+  /** Column form: smallest `cap` distinct strings of the group. */
+  def distinctMin(c: Column, cap: Int): Column =
+    udaf(new DistinctMinOfStrings(cap), Encoders.STRING).apply(c)
+
+  /** Column form over array input: smallest `cap` distinct elements of
+    * the union of the group's arrays (the merge phase of a salted
+    * two-phase aggregate). */
+  def distinctMinFlat(c: Column, cap: Int): Column =
+    udaf(new DistinctMinOfArrays(cap),
+      ExpressionEncoder[Seq[String]]()).apply(c)
+}

@@ -110,6 +110,10 @@ object Canonicalizer {
     // descriptions/chunks, and nameMap correctness needs every raw
     // surface — triples whose surface fell off a cap would silently
     // drop at the endpoint rewrite.
+    // descriptions/source_chunks accumulate through BoundedAgg: O(cap)
+    // aggregation state per (name, salt) even when a hot entity
+    // contributes millions of mentions (collect_set-then-slice would
+    // buffer every distinct value first — SURVEY.md §7.4#4)
     val partial = keyed
       .groupBy("name_key", "salt")
       .agg(
@@ -117,8 +121,8 @@ object Canonicalizer {
         min("norm_name").as("display_name"),
         min("entityType").as("entity_type"),
         sort_array(collect_set("entityName")).as("aliases"),
-        slice(sort_array(collect_set("entityDescription")), 1, ListCap).as("descriptions"),
-        slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
+        BoundedAgg.distinctMin(col("entityDescription"), ListCap).as("descriptions"),
+        BoundedAgg.distinctMin(col("chunkId"), ListCap).as("source_chunks"))
 
     // persisted: `names` feeds three consumers (LSH banding, CC vertex
     // set, representative merge) and sits on top of the whole
@@ -133,8 +137,8 @@ object Canonicalizer {
           min("display_name").as("display_name"),
           min("entity_type").as("entity_type"),
           array_distinct(sort_array(flatten(collect_set("aliases")))).as("aliases"),
-          slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
-          slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
+          BoundedAgg.distinctMinFlat(col("descriptions"), ListCap).as("descriptions"),
+          BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap).as("source_chunks"))
         .withColumn("embedding", embedUdf(col("display_name")))
         .localCheckpoint(true)
     }
@@ -191,9 +195,9 @@ object Canonicalizer {
         max_by(col("entity_type"), struct(col("n_mentions"), col("name_key"))).as("entity_type"),
         sum("n_mentions").as("n_mentions"),
         count(lit(1)).as("n_merged_names"),
-        slice(sort_array(flatten(collect_set("aliases"))), 1, ListCap).as("aliases"),
-        slice(sort_array(flatten(collect_set("descriptions"))), 1, ListCap).as("descriptions"),
-        slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap).as("source_chunks"))
+        BoundedAgg.distinctMinFlat(col("aliases"), ListCap).as("aliases"),
+        BoundedAgg.distinctMinFlat(col("descriptions"), ListCap).as("descriptions"),
+        BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap).as("source_chunks"))
 
     // raw name -> canonical id (for triple endpoint rewrite)
     val nameMap = rawKeys
@@ -270,12 +274,12 @@ object Canonicalizer {
       .agg(
         count(lit(1)).as("n_sources"),
         min("description").as("description"),
-        slice(sort_array(collect_set("chunkId")), 1, ListCap).as("source_chunks"))
+        BoundedAgg.distinctMin(col("chunkId"), ListCap).as("source_chunks"))
       .groupBy("subj_id", "pred", "obj_id")
       .agg(
         sum("n_sources").as("n_sources"),
         min("description").as("description"),
-        slice(sort_array(flatten(collect_set("source_chunks"))), 1, ListCap)
+        BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap)
           .as("source_chunks"))
   }
 }
