@@ -253,7 +253,13 @@ object Bench {
       val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       val levels = Seq(n1, n2, cpus)
       val best = scala.collection.mutable.HashMap.empty[Int, (Double, Long, Long)]
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      // 3 reps: the host drifts between quiet and contended windows on
+      // a ~10-minute scale (measured same-binary 8-core spreads of
+      // 49.5-74.5 s with ~0 steal — neighbor memory-bandwidth pressure,
+      // not CPU); more interleaved reps = more chances that each level
+      // lands at least one quiet slot, and min-per-level discards the
+      // contended ones
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       for (_ <- 1 to reps; cp <- levels) {
         val r = kgRunForked(cp, pagesDir)
         raw += ((cp, r._1))
