@@ -80,6 +80,7 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => graft.ops.RelationalOps.aggRollup(s, d)),
     "q_cube" -> ((s, d) => graft.ops.RelationalOps.aggCube(s, d)),
     "q_asof_join" -> ((s, d) => graft.ops.AsofJoin.clickToPriorPurchase(s, d)),
+    "q_range_join" -> ((s, d) => graft.ops.RangeJoin.clicksInPurchaseWindow(s, d)),
     // --- dedup family ---
     "dedup_exact" -> ((s, d) => graft.dedup.DedupOps.exactGroups(s, d)),
     "dedup_exact_drop" -> ((s, d) => graft.dedup.DedupOps.exactDropList(s, d)),
@@ -243,6 +244,14 @@ object SparkEntry {
           |       round(p.pv, 6) AS purchase_value
           |FROM clicks c ASOF LEFT JOIN p
           |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+      "q_range_join" ->
+        """WITH clicks AS (
+          |  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |p AS (
+          |  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase')
+          |SELECT c.click_id, c.user_id, p.purchase_id
+          |FROM clicks c JOIN p ON c.user_id = p.user_id
+          |  AND c.ts >= p.ts AND epoch(c.ts) < epoch(p.ts) + 3600""".stripMargin,
       "q_rrf_fusion" ->
         """WITH by_chars AS (
           |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank
