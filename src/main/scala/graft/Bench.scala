@@ -251,7 +251,7 @@ object Bench {
       // Minimum per level is the standard estimator for the machine's
       // actual capability under one-sided noise.
       val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-      val levels = Seq(n1, n2, cpus)
+      val levels = Seq(n1, n2, cpus).distinct // coincide at low SPARK_GRAFT_CPUS
       val best = scala.collection.mutable.HashMap.empty[Int, (Double, Long, Long)]
       // 3 reps: the host drifts between quiet and contended windows on
       // a ~10-minute scale (measured same-binary 8-core spreads of

@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions.udaf
 object BoundedAgg {
 
   /** Sorted-ascending distinct insert, capped: keeps the smallest
-    * `cap`. Early-outs when the buffer is full and x can't enter. */
+    * `cap`. Early-outs when the buffer is full and x can't enter.
+    * Ordering is CODE POINT order (Chars.utf8Lt) — the order Spark's
+    * own sort_array/min use — not Java compareTo, which disagrees for
+    * supplementary-plane characters. */
   private def insert(buf: List[String], x: String, cap: Int): List[String] = {
     if (x == null) buf
-    else if (buf.lengthCompare(cap) >= 0 && buf.last <= x) buf
+    else if (buf.lengthCompare(cap) >= 0 &&
+      !graft.text.Chars.utf8Lt(x, buf.last)) buf
     else if (buf.contains(x)) buf
     else {
-      val (lt, ge) = buf.span(_ < x)
+      val (lt, ge) = buf.span(graft.text.Chars.utf8Lt(_, x))
       val merged = lt ::: (x :: ge)
       if (merged.lengthCompare(cap) > 0) merged.take(cap) else merged
     }

@@ -132,14 +132,15 @@ object ConnectedComponents {
       collected: Array[org.apache.spark.sql.Row],
       dt: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = edgesIn.sparkSession
+    // must match the ordering the distributed path's min() uses:
+    // strings compare in UTF-8/code-point order (Java compareTo
+    // disagrees on supplementary-plane chars); other orderable types
+    // via their natural Comparable order
     val lt: (Any, Any) => Boolean = dt match {
       case org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
-      case org.apache.spark.sql.types.LongType =>
-        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
-      case org.apache.spark.sql.types.IntegerType =>
-        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
-      case _ => (a, b) => a.toString < b.toString
+        (a, b) => graft.text.Chars.utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String])
+      case _ =>
+        (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {

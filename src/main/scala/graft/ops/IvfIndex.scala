@@ -34,12 +34,22 @@ object IvfIndex {
     * start at the lowest-hash vector, repeatedly add the sample point
     * with the largest cosine distance to its nearest chosen centroid.
     * Deterministic: ties fall to the earlier sample position. */
-  def chooseCentroids(sample: Array[Array[Float]], nlist: Int): Array[Array[Float]] = {
+  def chooseCentroids(sampleIn: Array[Array[Float]], nlist: Int): Array[Array[Float]] = {
+    // duplicate vectors (near-dup pages embed identically) would
+    // otherwise exhaust the distinct pool and fill remaining slots
+    // with copies of the first point — dedup first, and stop early
+    // once every remaining sample point coincides with a centroid
+    val sample = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Float]]
+      sampleIn.foreach(v => seen.add(v.toSeq))
+      seen.iterator.map(_.toArray).toArray
+    }
     if (sample.isEmpty) return Array.empty
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
     // nearest-chosen similarity per sample point, updated incrementally
     val best = sample.map(v => HashingEmbedder.cosine(v, sample.head))
-    while (chosen.length < math.min(nlist, sample.length)) {
+    var exhausted = false
+    while (chosen.length < math.min(nlist, sample.length) && !exhausted) {
       var worst = -1
       var worstSim = Double.MaxValue
       var i = 0
@@ -47,13 +57,16 @@ object IvfIndex {
         if (best(i) < worstSim) { worstSim = best(i); worst = i }
         i += 1
       }
-      val c = sample(worst)
-      chosen += c
-      i = 0
-      while (i < sample.length) {
-        val s = HashingEmbedder.cosine(sample(i), c)
-        if (s > best(i)) best(i) = s
-        i += 1
+      if (worstSim >= 1.0) exhausted = true
+      else {
+        val c = sample(worst)
+        chosen += c
+        i = 0
+        while (i < sample.length) {
+          val s = HashingEmbedder.cosine(sample(i), c)
+          if (s > best(i)) best(i) = s
+          i += 1
+        }
       }
     }
     chosen.toArray

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
 object Jobs {
   def named[A](spark: SparkSession, description: String)(f: => A): A = {
     val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(description)
-    try f finally sc.setJobDescription(null)
+    try f finally sc.setJobDescription(prev) // restore enclosing scope's label
   }
 }

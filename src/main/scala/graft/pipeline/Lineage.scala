@@ -56,7 +56,10 @@ final class Lineage(
     spark.read.parquet(path)
   }
 
-  def metrics(): DataFrame = spark.read.parquet(s"$outDir/_metrics")
+  // mergeSchema: _metrics is append-only across runs, so directories
+  // written by different library versions may mix schemas
+  def metrics(): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$outDir/_metrics")
 }
 
 /** spark-submit entry for the full KG job:

@@ -98,15 +98,19 @@ object TextOps {
     * contraction suffixes, space-prefixed letter runs, digit runs,
     * punctuation runs) restricted to constructs with identical
     * semantics in Java regex and RE2, so the DuckDB oracle can run the
-    * same pattern (the original's `\s+(?!\S)` lookahead is dropped —
-    * it only affects how trailing whitespace groups, which a count
-    * ignores). */
+    * same pattern. Two deliberate deviations from the GPT-2 original:
+    * whitespace-run tokens are not counted (the `\s+(?!\S)` / `\s+`
+    * alternatives are dropped — RE2 has no lookahead), and the
+    * whitespace class is spelled explicitly because Java's `\s`
+    * includes U+000B while RE2's does not. */
   val BpeTokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
 
-  /** BPE-ish token count: number of pre-tokenizer matches. Unlike the
-    * whitespace count, CJK text tokenizes as letter runs and
-    * punctuation separates — the closer proxy for model token cost. */
+  /** BPE-ish token count: number of non-whitespace pre-tokenizer
+    * matches. Unlike the whitespace count, CJK text tokenizes as
+    * letter runs and punctuation separates — the closer proxy for
+    * model token cost (exact BPE would additionally count whitespace
+    * runs of length >= 2). */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeTokenPattern)).cast("long")
 

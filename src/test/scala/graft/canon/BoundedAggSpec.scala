@@ -22,6 +22,20 @@ class BoundedAggSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("distinctMin matches Spark ordering on supplementary-plane strings") {
+    import spark.implicits._
+    // U+FFFF sorts BEFORE U+20000 in UTF-8/code-point order but AFTER
+    // it under Java compareTo — the cap must cut the same way Spark's
+    // sort_array does
+    val vals = Seq("a", "￿", "𠀀", "", "b", "𠀁")
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val a = df.groupBy("g").agg(BoundedAgg.distinctMin(col("v"), 3).as("s"))
+      .head().getSeq[String](1)
+    val b = df.groupBy("g").agg(slice(sort_array(collect_set("v")), 1, 3).as("s"))
+      .head().getSeq[String](1)
+    assert(a == b)
+  }
+
   test("two-phase distinctMinFlat equals single-phase over the union") {
     import spark.implicits._
     val rows = (0 until 3000).map(i => (s"k${i % 5}", i % 13, f"c${i % 40}%02d"))
