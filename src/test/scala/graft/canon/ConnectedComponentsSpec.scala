@@ -84,6 +84,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("supplementary-plane string ids: both paths elect the same representative") {
+    // U+FFFF < U+20000 in UTF-8/code-point order (Spark's min), but the
+    // opposite under Java compareTo — the local union-find must agree
+    // with the distributed min()
+    val hi = "￿"
+    val sp1 = "𠀀" // U+20000
+    val sp2 = "𠀁" // U+20001
+    val df = Seq((hi, sp1), (sp1, sp2)).toDF("src", "dst")
+    val local = ConnectedComponents.run(df).as[(String, String)].collect().toMap
+    val dist = ConnectedComponents.run(df, localSolveMax = 0)
+      .as[(String, String)].collect().toMap
+    assert(local == dist)
+    assert(local.values.toSet == Set(hi), "representative must be the UTF-8 min")
+  }
+
   test("singletons included via runWithVertices") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 3L).toDF("id")

@@ -33,6 +33,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == Seq((1L, None)))
   }
 
+  test("as-of join matches brute force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
+    // right side unique per (key, ts) — the determinism precondition
+    val right = (0 until 200).map(_ => (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+      .distinct.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+    val got = AsofJoin.asofJoin(
+        left.toDF("k", "lts", "lid"), right.toDF("k", "rts", "rid"),
+        Seq("k"), "lts", "rts", Seq("rid"))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toSet
+    val expected = left.map { case (k, lts, lid) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= lts)
+      (lid, if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+    }.toSet
+    assert(got == expected)
+  }
+
   test("click->prior-purchase matches a local oracle on the events table") {
     import spark.implicits._
     val got = AsofJoin.clickToPriorPurchase(spark, sf0001)
