@@ -91,14 +91,22 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => graft.ops.VectorOps.annTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => graft.ops.VectorOps.annTopKLsh(s, d)),
     "ann_topk_ivf" -> ((s, d) => graft.ops.IvfIndex.ivfTopK(s, d)),
+    "ann_recall" -> ((s, d) => graft.ops.VectorOps.annRecall(s, d)),
     "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
     "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
     "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topK(s, d)),
     // --- retrieval read path (SURVEY.md §2.5) ---
     "retrieval_rrf" -> ((s, d) => graft.retrieval.Retrieval.rrf(
       graft.retrieval.Retrieval.multipath(s, d, "spark join vector"))),
+    // thresholds chosen >= 1.6e-3 from the nearest data point at both
+    // sf0.01 and sf0.1 (so float-vs-double cannot flip membership) AND
+    // with non-empty results — a 0-row oracle row proves nothing
     "retrieval_threshold" -> ((s, d) =>
-      graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.4).select("vec_id")),
+      graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.3).select("vec_id")),
+    "retrieval_threshold_l2" -> ((s, d) =>
+      graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.164, "l2").select("vec_id")),
+    "retrieval_threshold_ip" -> ((s, d) =>
+      graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.8, "ip").select("vec_id")),
     "retrieval_rerank" -> ((s, d) => graft.retrieval.Retrieval.rerank(
       s, d, "spark join vector", Tables.documents(s, d).select("doc_id"))),
     // --- chunker family (C2-C4; library ops, rows-only checks) ---
@@ -300,9 +308,13 @@ object SparkEntry {
            |  WHEN $fr >= $es THEN 'fr'
            |  ELSE 'es' END AS pred_lang
            |FROM documents""".stripMargin,
+      // whitespace class spelled explicitly (same as the Scala
+      // BpeTokenPattern): RE2's \s is [\t\n\f\r ] without U+000B while
+      // Java's includes it — the explicit class makes both engines
+      // treat \x0B as whitespace
       "text_bpe_tokens" ->
         """SELECT doc_id, len(regexp_extract_all(text,
-          |  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens
+          |  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+')) AS n_bpe_tokens
           |FROM documents""".stripMargin,
       "dedup_minhash_lsh" ->
         s"""WITH toks AS (SELECT doc_id, $toksLower AS t FROM documents),
@@ -359,7 +371,43 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "retrieval_threshold" ->
         """SELECT b.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-          |WHERE a.vec_id = 0 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin,
+          |WHERE a.vec_id = 0 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,
+      "retrieval_threshold_l2" ->
+        """SELECT b.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          |WHERE a.vec_id = 0
+          |  AND 1 - list_distance(a.embedding, b.embedding) / sqrt(2) >= 0.164""".stripMargin,
+      "retrieval_threshold_ip" ->
+        """SELECT b.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          |WHERE a.vec_id = 0
+          |  AND (CASE WHEN list_dot_product(a.embedding, b.embedding) > 0
+          |       THEN 1 - list_dot_product(a.embedding, b.embedding)
+          |       ELSE -list_dot_product(a.embedding, b.embedding) END) >= 0.8""".stripMargin,
+      // __OUT__ is replaced by Verify with the absolute dump directory:
+      // the oracle recomputes the exact side + the recall arithmetic
+      // independently over the dumped approximate results
+      "ann_recall" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+          |        list_cosine_similarity(e.embedding, q.qv) AS cos
+          |      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+          |r AS (SELECT query_id, neighbor_id,
+          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          |      FROM s),
+          |exact AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+          |appr AS (
+          |  SELECT 'lsh' AS family, query_id, neighbor_id
+          |  FROM read_parquet('__OUT__/ann_topk_lsh/*.parquet')
+          |  UNION ALL
+          |  SELECT 'ivf' AS family, query_id, neighbor_id
+          |  FROM read_parquet('__OUT__/ann_topk_ivf/*.parquet')),
+          |h AS (SELECT family, count(*) AS n_hits
+          |      FROM appr JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+          |n AS (SELECT count(*) AS n_exact FROM exact)
+          |SELECT f.family, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+          |       CAST(n.n_exact AS BIGINT) AS n_exact,
+          |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_exact, 6) AS recall
+          |FROM (VALUES ('ivf'), ('lsh')) f(family)
+          |LEFT JOIN h ON f.family = h.family CROSS JOIN n""".stripMargin,
       "q_time_window" ->
         """SELECT date_trunc('hour', ts) AS window_start, event_type,
           |       count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -35,7 +35,12 @@ object AsofJoin {
     val pStruct = struct(payloadCols.map(col): _*)
     val pType = right.select(pStruct.as("__p")).schema("__p").dataType
     val keyCols: Seq[Column] = keys.map(col)
-    val r = right.select(
+    // a null-ts right row would sort first (nulls-first) and its
+    // non-null payload struct would be carried into every left row with
+    // no earlier real match; under as-of semantics it matches nothing.
+    // (Left rows with a null ts also sort first and therefore get no
+    // match — the documented behavior.)
+    val r = right.filter(col(rightTsCol).isNotNull).select(
       keyCols :+ col(rightTsCol).as("__ts") :+ lit(0).as("__side")
         :+ pStruct.as("__p"): _*)
     val l = left

@@ -93,6 +93,12 @@ object IvfIndex {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val centroids = chooseCentroids(sample, nlist)
+    // empty input => no centroids; without this guard the assign UDF
+    // would index nearestLists(...)(0) into an empty array
+    if (centroids.isEmpty) {
+      return emb.select(col("vec_id").as("query_id"),
+        lit(1).as("rank"), col("vec_id").as("neighbor_id")).limit(0)
+    }
     val bc = spark.sparkContext.broadcast(centroids)
 
     // 2. narrow assignment against the broadcast quantizer

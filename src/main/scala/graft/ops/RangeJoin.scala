@@ -38,10 +38,13 @@ object RangeJoin {
         col("ts").as("purchase_ts"))
       .withColumn("bucket", explode(array(
         bucketOf(col("purchase_ts")), bucketOf(col("purchase_ts")) + 1)))
+    // exact predicate at full timestamp precision (unix_timestamp would
+    // truncate to whole seconds and wrongly exclude a click whose
+    // fractional seconds cross the boundary); the second-truncated
+    // bucket computation above is still a superset of candidates
     clicks.join(purchases, Seq("user_id", "bucket"))
       .filter(col("click_ts") >= col("purchase_ts") &&
-        unix_timestamp(col("click_ts")) <
-          unix_timestamp(col("purchase_ts")) + winSec)
+        col("click_ts") < col("purchase_ts") + expr(s"INTERVAL $winSec SECOND"))
       .select("click_id", "user_id", "purchase_id")
     // no dedup needed: a click has ONE bucket and the interval's two
     // buckets are distinct, so each qualifying pair joins exactly once

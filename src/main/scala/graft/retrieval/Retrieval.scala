@@ -2,7 +2,7 @@ package graft.retrieval
 
 import graft.Tables
 import graft.embed.{CosineSimilarity, HashingEmbedder}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,16 +50,37 @@ final class DenseRetriever extends Retriever {
 object Retrieval {
 
   /** R4 score-threshold search: metric-specific relevance transform
-    * then filter (reference VectorStoreBase.py:259-273 — cosine:
-    * rel = 1 - d where d = 1 - cos, i.e. rel = cos clamped). */
+    * then filter (reference VectorStoreBase.py:259-273):
+    *  - cosine: rel = 1 - d where d = 1 - cos, i.e. rel = cos;
+    *  - l2:     rel = 1 - dist / sqrt(2)
+    *            (`_euclidean_relevance_score_fn`, :259-261);
+    *  - ip:     rel = d > 0 ? 1 - d : -d with d the raw inner product
+    *            (`_max_inner_product_relevance_score_fn`, :269-272 —
+    *            the piecewise form ported verbatim, quirk included).
+    * Distances computed with higher-order array functions (zip_with +
+    * aggregate) — no UDF in the scoring path. */
   def thresholdSearch(spark: SparkSession, sfDir: String, queryVecId: Long,
-      threshold: Double): DataFrame = {
+      threshold: Double, metric: String = "cosine"): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+    def l2(a: Column, b: Column): Column =
+      sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x))
+    val rel = metric match {
+      case "cosine" => CosineSimilarity(col("embedding"), col("qv"))
+      case "l2" =>
+        lit(1.0) - l2(col("embedding"), col("qv")) / math.sqrt(2.0)
+      case "ip" =>
+        val d = dot(col("embedding"), col("qv"))
+        when(d > 0, lit(1.0) - d).otherwise(-d)
+      case other => sys.error(s"unknown metric $other")
+    }
     emb.join(broadcast(qv), col("vec_id") =!= col("qid"))
-      .select(col("vec_id"),
-        CosineSimilarity(col("embedding"), col("qv")).as("rel"))
+      .select(col("vec_id"), rel.as("rel"))
       .filter(col("rel") >= threshold)
   }
 

@@ -57,12 +57,18 @@ class AsofJoinSpec extends SparkSpec {
     val got = AsofJoin.clickToPriorPurchase(spark, sf0001)
       .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
     // local single-threaded oracle over the same parquet
+    // microsecond precision: the implementation compares full-precision
+    // timestamps, so a millisecond-truncated oracle could only agree by
+    // data luck (no same-milli collisions); micros is parquet ts precision
     val ev = spark.read.parquet(s"$sf0001/events.parquet")
       .select("event_id", "user_id", "ts", "event_type", "value")
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1),
-        r.getAs[java.time.LocalDateTime](2).toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
-        r.getString(3), r.getDouble(4)))
+      .map { r =>
+        val i = r.getAs[java.time.LocalDateTime](2).toInstant(java.time.ZoneOffset.UTC)
+        (r.getLong(0), r.getLong(1),
+          i.getEpochSecond * 1000000L + i.getNano / 1000L,
+          r.getString(3), r.getDouble(4))
+      }
     val purchases = ev.filter(_._4 == "purchase")
       .groupBy(p => (p._2, p._3)).map { case (_, ps) =>
         val best = ps.maxBy(_._1); (best._2, best._3, best._1, best._5)

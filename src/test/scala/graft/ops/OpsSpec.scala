@@ -58,7 +58,7 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.15, s"recall $recall collapsed — LSH params broken")
   }
 
-  test("vec_neardup matches local all-pairs at 0.4") {
+  test("vec_neardup (pivot-pruned) matches local all-pairs at 0.4") {
     val got = VectorOps.nearDupPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ids = vecs.keys.toSeq.sorted
@@ -66,6 +66,41 @@ class OpsSpec extends SparkSpec {
       i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.4
     } yield (i, j)).toSet
     assert(got == expected)
+    assert(got.nonEmpty, "degenerate fixture: no near-dup pairs")
+    // the exhaustive in-test oracle agrees too
+    val exh = VectorOps.nearDupPairsExhaustive(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exh == expected)
+  }
+
+  test("vec_neardup plans as equi-joins, never a nested-loop product") {
+    val p = VectorOps.nearDupPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("vec_neardup exact at a second threshold (pruning stays conservative)") {
+    val got = VectorOps.nearDupPairs(spark, sf0001, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && cos(vecs(i), vecs(j)) >= 0.35
+    } yield (i, j)).toSet
+    assert(got == expected)
+  }
+
+  test("ann_recall reports per-family hits against exact top-k") {
+    val rows = VectorOps.annRecall(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("ivf", "lsh"))
+    rows.foreach { case (fam, hits, n, recall) =>
+      assert(n == 100, s"$fam n_exact $n")
+      assert(hits >= 0 && hits <= n)
+      assert(math.abs(recall - hits.toDouble / n) < 1e-9)
+      // collapse guard (uniform-sphere regime: see the LSH/IVF specs)
+      assert(recall >= 0.15, s"$fam recall collapsed: $recall")
+    }
   }
 
   test("mmr first pick is the nearest neighbor; output deterministic") {

@@ -47,6 +47,40 @@ class RetrievalSpec extends SparkSpec {
     }
     val expected = vecs.filter(v => v._1 != 0L && cos(v._2) >= 0.3).map(_._1).toSet
     assert(got == expected)
+    assert(got.nonEmpty, "vacuous threshold: no vectors above the cutoff")
+  }
+
+  test("threshold search l2/ip metrics match the reference transforms") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val q = vecs.find(_._1 == 0L).get._2.map(_.toDouble).toArray
+    def dot(b: Seq[Float]): Double = {
+      var d = 0.0
+      for (i <- q.indices) d += q(i) * b(i)
+      d
+    }
+    def l2(b: Seq[Float]): Double = {
+      var s = 0.0
+      for (i <- q.indices) { val x = q(i) - b(i); s += x * x }
+      math.sqrt(s)
+    }
+    // l2: rel = 1 - dist/sqrt(2) (VectorStoreBase.py:259-261)
+    val gotL2 = Retrieval.thresholdSearch(spark, sf0001, 0L, 0.164, "l2")
+      .select("vec_id").as[Long].collect().toSet
+    val expL2 = vecs.filter(v => v._1 != 0L &&
+      1.0 - l2(v._2) / math.sqrt(2.0) >= 0.164).map(_._1).toSet
+    assert(gotL2 == expL2)
+    assert(gotL2.nonEmpty, "vacuous l2 threshold")
+    // ip: rel = d > 0 ? 1 - d : -d (VectorStoreBase.py:269-272)
+    val gotIp = Retrieval.thresholdSearch(spark, sf0001, 0L, 0.8, "ip")
+      .select("vec_id").as[Long].collect().toSet
+    val expIp = vecs.filter { v =>
+      val d = dot(v._2)
+      v._1 != 0L && (if (d > 0) 1.0 - d else -d) >= 0.8
+    }.map(_._1).toSet
+    assert(gotIp == expIp)
+    assert(gotIp.nonEmpty, "vacuous ip threshold")
   }
 
   test("rerank stub: top-k by deterministic score over batched partitions") {
