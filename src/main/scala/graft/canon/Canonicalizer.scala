@@ -98,8 +98,21 @@ object Canonicalizer {
   def canonicalize(mentions: DataFrame): (DataFrame, DataFrame) = {
     val spark = mentions.sparkSession
 
+    // First-writer-wins semantics: the reference fixes id_/entity_type
+    // at the FIRST mention's values (MERGE ... ON CREATE SET,
+    // event_graphrag_neo4j.py:336-360) and its lowercase fallback merge
+    // keeps the OLDER node — name included (Base_Neo4j.py:922-950,
+    // elementId(e1) > elementId(e2) deletes the newer). A parallel
+    // engine has no wall-clock insertion order, so the deterministic
+    // total order (chunkId, ord) — chunk id, then mention position
+    // within the chunk — stands in for creation order. Callers without
+    // a mention ordinal get ord = 0.
+    val withOrd =
+      if (mentions.columns.contains("ord")) mentions
+      else mentions.withColumn("ord", lit(0))
+
     // ---- G12 salted two-phase lowercase merge --------------------------
-    val keyed = mentions
+    val keyed = withOrd
       .withColumn("norm_name", normalizeNameUdf(col("entityName")))
       .withColumn("name_key", lower(col("norm_name")))
       .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(Salts)))
@@ -114,12 +127,16 @@ object Canonicalizer {
     // aggregation state per (name, salt) even when a hot entity
     // contributes millions of mentions (collect_set-then-slice would
     // buffer every distinct value first — SURVEY.md §7.4#4)
+    // first_w: the lexicographically-first (chunkId, ord) mention's
+    // (display name, type) — min over the struct is the distributable
+    // form of min_by(…, (chunkId, ord)) that survives the salted
+    // two-phase split ((chunkId, ord) is unique, so the order is total)
     val partial = keyed
       .groupBy("name_key", "salt")
       .agg(
         count(lit(1)).as("n_mentions"),
-        min("norm_name").as("display_name"),
-        min("entityType").as("entity_type"),
+        min(struct(col("chunkId"), col("ord"), col("norm_name"),
+          col("entityType"))).as("first_w"),
         sort_array(collect_set("entityName")).as("aliases"),
         BoundedAgg.distinctMin(col("entityDescription"), ListCap).as("descriptions"),
         BoundedAgg.distinctMin(col("chunkId"), ListCap).as("source_chunks"))
@@ -134,11 +151,13 @@ object Canonicalizer {
         .groupBy("name_key")
         .agg(
           sum("n_mentions").as("n_mentions"),
-          min("display_name").as("display_name"),
-          min("entity_type").as("entity_type"),
+          min("first_w").as("first_w"),
           array_distinct(sort_array(flatten(collect_set("aliases")))).as("aliases"),
           BoundedAgg.distinctMinFlat(col("descriptions"), ListCap).as("descriptions"),
           BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap).as("source_chunks"))
+        .withColumn("display_name", col("first_w.norm_name"))
+        .withColumn("entity_type", col("first_w.entityType"))
+        .drop("first_w")
         .withColumn("embedding", embedUdf(col("display_name")))
         .localCheckpoint(true)
     }

@@ -44,11 +44,13 @@ object PagesGenerator {
     * same variant set the gazetteer knows (KnowledgeBase.aliasVariants),
     * so every planted alias becomes a distinct mention the canonicalizer
     * must merge back to its base. */
-  lazy val aliasSurfaces: Vector[String] = {
-    val base = Vector("室内机电控板", "连接线锁扣", "电控盒", "PCB插座",
+  /** Entity names the alias surfaces derive from. */
+  lazy val aliasBases: Vector[String] =
+    Vector("室内机电控板", "连接线锁扣", "电控盒", "PCB插座",
       "蒸发器设计规范", "硬件开发课", "规范性引用文件", "术语和定义")
-    base.flatMap(graft.extract.KnowledgeBase.aliasVariants)
-  }
+
+  lazy val aliasSurfaces: Vector[String] =
+    aliasBases.flatMap(graft.extract.KnowledgeBase.aliasVariants)
 
   private val fillerZh = Vector(
     "本期通报涵盖生产过程中的质量情况与整改进展",

@@ -122,9 +122,12 @@ object KGPipeline {
       case None =>
         raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // posexplode: the within-chunk mention position is the tiebreaker of
+    // the first-writer order the canonicalizer uses (reference ON CREATE
+    // SET semantics — Canonicalizer.canonicalize)
     val mentions = both
-      .select(col("chunk_id"), explode(col("mentions")).as("m"))
-      .select(col("chunk_id"),
+      .select(col("chunk_id"), posexplode(col("mentions")).as(Seq("ord", "m")))
+      .select(col("chunk_id"), col("ord"),
         col("m._1").as("surface"), col("m._2").as("entityName"),
         col("m._3").as("entityType"), col("m._4").as("entityDescription"))
     val triples = both

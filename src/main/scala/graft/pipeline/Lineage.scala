@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.pages.PagesGenerator
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,8 +24,14 @@ final class Lineage(
     runId: String,
     resume: Boolean) {
 
-  private def committed(path: String): Boolean =
-    Files.exists(Paths.get(path, "_SUCCESS"))
+  // Hadoop FileSystem API, not java.nio: outDir may be any scheme the
+  // cluster mounts (hdfs://, s3a://, ...) — a driver-local Files.exists
+  // would silently never see a remote _SUCCESS and resume would rerun
+  // every stage
+  private def committed(path: String): Boolean = {
+    val p = new Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Run (or resume) one stage. The returned frame always reads from
     * the committed parquet, so downstream stages see identical data

@@ -5,6 +5,13 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** A local-FS-backed FileSystem under its own scheme — stands in for
+  * hdfs://s3a:// in the resume test (zero-egress sandbox). */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 class PipelineSpec extends SparkSpec {
 
   private def sortedRows(df: DataFrame): Seq[String] = {
@@ -26,12 +33,17 @@ class PipelineSpec extends SparkSpec {
   test("alias variants merge back into base entities") {
     val r = KGPipeline.run(spark, 200, partitions = 4)
     val merged = r.entities.filter(col("n_merged_names") > 1)
-    // the planted alias surfaces (suffix/hyphen/case variants) must not
-    // survive as canonical entity names — the base always out-mentions
-    // its variants, so a surviving variant means a missed merge
+    // the planted suffix/hyphen alias surfaces must not survive as
+    // canonical entity names — a surviving one means a missed merge.
+    // A pure CASE variant of a base MAY survive as the display name:
+    // the reference's lowercase merge keeps the first-created node,
+    // name included (Base_Neo4j.py:922-950), and canonicalize ports
+    // that as first-writer-by-(chunkId, ord).
     val variantSet = graft.pages.PagesGenerator.aliasSurfaces.toSet
+    val baseLower = graft.pages.PagesGenerator.aliasBases.map(_.toLowerCase).toSet
     val names = r.entities.select("entity_name").collect().map(_.getString(0))
-    val leaked = names.filter(variantSet.contains)
+    val leaked = names.filter(n =>
+      variantSet.contains(n) && !baseLower.contains(n.toLowerCase))
     assert(leaked.isEmpty, s"unmerged alias variants: ${leaked.mkString(", ")}")
     assert(merged.count() > 0, "no merges happened at all")
   }
@@ -65,6 +77,48 @@ class PipelineSpec extends SparkSpec {
     val commits = m.filter(col("stage") === "pages")
       .select(countDistinct(col("committed_at"))).collect()(0).getLong(0)
     assert(commits == 1L, "resumed run recommitted an upstream stage")
+  }
+
+  test("entity type and display name are first-writer-wins by (chunkId, ord)") {
+    import spark.implicits._
+    // one name under two types and two cases: the mention with the
+    // smallest (chunkId, ord) must fix both, matching the reference's
+    // MERGE ... ON CREATE SET (event_graphrag_neo4j.py:336-360)
+    val mentions = Seq(
+      ("chunk_bb", 0, "Widget", "ToolB", "later chunk"),
+      ("chunk_aa", 1, "WIDGET", "ToolA", "first chunk, second mention"),
+      ("chunk_aa", 0, "widget", "ToolZ", "first chunk, first mention"),
+      ("chunk_cc", 0, "Widget", "ToolC", "third chunk")
+    ).toDF("chunkId", "ord", "entityName", "entityType", "entityDescription")
+    val (entities, _) = graft.canon.Canonicalizer.canonicalize(mentions)
+    val row = entities.select("entity_name", "entity_type", "n_mentions").head()
+    assert(row.getString(0) == "widget", s"display: ${row.getString(0)}")
+    assert(row.getString(1) == "ToolZ", s"type: ${row.getString(1)}")
+    assert(row.getLong(2) == 4L)
+    // without an ord column the per-chunk order defaults flat (ord=0)
+    // but chunk order still decides deterministically
+    val (e2, _) = graft.canon.Canonicalizer.canonicalize(
+      mentions.drop("ord").filter(col("chunkId") =!= "chunk_aa"))
+    assert(e2.select("entity_type").head().getString(0) == "ToolB")
+  }
+
+  test("resume works against a non-local filesystem scheme (Hadoop FS API)") {
+    // mockfs:// resolves through the Hadoop FileSystem registry (backed
+    // by the local FS); java.nio Files.exists cannot see this scheme, so
+    // the test fails if the _SUCCESS probe regresses to driver-local IO
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockfs.impl", classOf[MockFs].getName)
+    val dir = Files.createTempDirectory("kg_mockfs").toString
+    val out = s"mockfs://$dir"
+    KGJob.run(spark, 60, out, resume = false, partitions = 2)
+    val m1 = spark.read.parquet(s"$out/_metrics")
+      .filter(col("stage") === "pages").count()
+    // resumed run: every stage already committed => no new metrics rows
+    KGJob.run(spark, 60, out, resume = true, partitions = 2)
+    val m2 = spark.read.parquet(s"$out/_metrics")
+      .filter(col("stage") === "pages").count()
+    assert(m1 == m2, "resume re-ran a committed stage through mockfs://")
+    assert(spark.read.parquet(s"$out/chunks").count() > 0)
   }
 
   test("canonicalization is a fixpoint: re-canonicalizing representatives is a no-op") {
