@@ -44,7 +44,8 @@ object SparkEntry {
         events = r.events.persist(),
         entities = r.entities.persist(),
         nameMap = r.nameMap.persist(),
-        edges = r.edges.persist())
+        edges = r.edges.persist(),
+        eventEdges = r.eventEdges.persist())
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -68,6 +69,8 @@ object SparkEntry {
     "kg_stats" -> ((s, d) => graft.sink.GraphSink.stats(kg(s, d))),
     "kg_participates" -> ((s, d) => kg(s, d).participates),
     "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
+    "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
+      .select("head_id", "tail_id", "relation_type", "n_sources")),
     // --- relational core (SURVEY.md §2.6) ---
     "q_agg_upsert" -> ((s, d) => graft.ops.RelationalOps.aggUpsert(s, d)),
     "q_agg_pricing" -> ((s, d) => graft.ops.RelationalOps.aggPricing(s, d)),

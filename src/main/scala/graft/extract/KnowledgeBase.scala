@@ -34,6 +34,20 @@ final case class KbEvent(
     forbid: Vector[String],
     ord: Int) extends Serializable
 
+/** One event-relation spec (时序/因果/层级/条件 — the step-4 contract of
+  * the extraction prompt, promt.py:152-154). Endpoints reference events
+  * BY CONTENT — the post-resolution form the reference produces
+  * (event_GraphExtractor.py:178-204) and stores by
+  * (event_graphrag_neo4j.py:428-477). Fires in a chunk iff both
+  * endpoint events fired there (plus evidence/forbid, usually empty). */
+final case class KbEventRelation(
+    headContent: String,
+    tailContent: String,
+    relationType: String,
+    description: String,
+    evidence: Vector[String],
+    forbid: Vector[String]) extends Serializable
+
 /** The broadcastable extraction dictionary — the deterministic stand-in
   * for the reference's LLM extraction contract
   * (reference examples/graph_extract/promt.py:110-166; replacement
@@ -41,13 +55,15 @@ final case class KbEvent(
 final case class KnowledgeBase(
     entities: Vector[KbEntity],
     triples: Vector[KbTriple],
-    events: Vector[KbEvent] = Vector.empty) extends Serializable {
+    events: Vector[KbEvent] = Vector.empty,
+    eventRelations: Vector[KbEventRelation] = Vector.empty) extends Serializable {
 
   /** All distinct evidence/forbid patterns, for the Aho-Corasick scan. */
   lazy val patterns: Vector[String] =
     (entities.flatMap(_.evidence) ++
       triples.flatMap(t => t.evidence ++ t.forbid) ++
-      events.flatMap(e => e.evidence ++ e.forbid)).distinct
+      events.flatMap(e => e.evidence ++ e.forbid) ++
+      eventRelations.flatMap(r => r.evidence ++ r.forbid)).distinct
 
   /** Gazetteer augmented with alias-decorated variants (entity-linking
     * surface forms the canonicalizer must merge back): a decoration
@@ -133,6 +149,15 @@ object KnowledgeBase {
         strs(e.get("forbid")).map(normalize),
         e.get("ord").asInt())
     }.toVector).getOrElse(Vector.empty)
-    KnowledgeBase(ents, trs, evs)
+    val rels = Option(root.get("event_relations")).map(_.elements().asScala.map { r =>
+      KbEventRelation(
+        r.get("head_content").asText(),
+        r.get("tail_content").asText(),
+        Option(r.get("type")).map(_.asText()).getOrElse(""),
+        Option(r.get("description")).map(_.asText()).getOrElse(""),
+        strs(r.get("evidence")).map(normalize),
+        strs(r.get("forbid")).map(normalize))
+    }.toVector).getOrElse(Vector.empty)
+    KnowledgeBase(ents, trs, evs, rels)
   }
 }

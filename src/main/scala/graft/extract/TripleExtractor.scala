@@ -29,6 +29,19 @@ final case class EventRow(
     eventType: String,
     participants: Vector[String])
 
+/** Per-chunk event relation, endpoints resolved to the fired events'
+  * within-chunk ordinals + contents (the reference's
+  * `_process_event_relations` output shape: head/tail event CONTENT,
+  * relation_type ∈ {时序,因果,层级,条件}, description —
+  * event_GraphExtractor.py:178-204). */
+final case class EventRelRow(
+    chunkId: String,
+    url: String,
+    headOrd: Int,
+    tailOrd: Int,
+    relationType: String,
+    description: String)
+
 /** Deterministic mention detection + (subj, pred, obj) triple extraction
   * over chunk text — the Spark replacement for the reference's LLM
   * extraction loop (reference
@@ -80,16 +93,21 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     kb.events.map(e =>
       (e, e.evidence.map(patternIndex), e.forbid.map(patternIndex)))
 
+  private val eventRelSpecs: Vector[(KbEventRelation, Vector[Int], Vector[Int])] =
+    kb.eventRelations.map(r =>
+      (r, r.evidence.map(patternIndex), r.forbid.map(patternIndex)))
+
   /** Extract mentions + triples from one chunk. */
   def extract(chunkId: String, url: String, content: String)
       : (Vector[Mention], Vector[Triple]) = {
-    val (m, t, _) = extractAll(chunkId, url, content)
-    (m, t)
+    val r = extractAll(chunkId, url, content)
+    (r._1, r._2)
   }
 
-  /** Extract mentions + triples + events from one chunk. */
+  /** Extract mentions + triples + events + event relations from one
+    * chunk. */
   def extractAll(chunkId: String, url: String, content: String)
-      : (Vector[Mention], Vector[Triple], Vector[EventRow]) = {
+      : (Vector[Mention], Vector[Triple], Vector[EventRow], Vector[EventRelRow]) = {
     val normalized = KnowledgeBase.normalize(content)
     val hits = automaton.matchedIds(normalized)
 
@@ -115,14 +133,37 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
 
     // events: same firing rule; dedup by content (specs from different
     // source chunks can share an ord, so content is the identity here —
-    // mirrors the reference's dedup-by-id within one extraction round)
-    val seenE = scala.collection.mutable.LinkedHashSet.empty[String]
+    // mirrors the reference's dedup-by-id within one extraction round).
+    // The emitted ord is the within-CHUNK position (the reference's
+    // event_N numbering of one extraction response, promt.py:5-7), so
+    // event ids stay dense and collision-free however many source
+    // specs fired.
+    val seenE = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val events = Vector.newBuilder[EventRow]
     eventSpecs.foreach { case (e, ev, fb) =>
-      if (ev.nonEmpty && ev.forall(hits) && !fb.exists(hits) && seenE.add(e.content)) {
-        events += EventRow(chunkId, url, e.ord, e.content, e.eventType, e.participants)
+      if (ev.nonEmpty && ev.forall(hits) && !fb.exists(hits) &&
+          !seenE.contains(e.content)) {
+        val ord = seenE.size
+        seenE.put(e.content, ord)
+        events += EventRow(chunkId, url, ord, e.content, e.eventType, e.participants)
       }
     }
-    (mentions.result(), triples.result(), events.result())
+
+    // event relations (E4): a spec fires when BOTH endpoint events fired
+    // in this chunk (content lookup — the reference drops relations
+    // referencing unknown events, event_GraphExtractor.py:190-194),
+    // plus its own evidence/forbid; dedup by (head, tail, type) like
+    // the history merge.
+    val seenR = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, String)]
+    val eventRels = Vector.newBuilder[EventRelRow]
+    eventRelSpecs.foreach { case (r, ev, fb) =>
+      (seenE.get(r.headContent), seenE.get(r.tailContent)) match {
+        case (Some(h), Some(t)) if ev.forall(hits) && !fb.exists(hits) &&
+            seenR.add((h, t, r.relationType)) =>
+          eventRels += EventRelRow(chunkId, url, h, t, r.relationType, r.description)
+        case _ =>
+      }
+    }
+    (mentions.result(), triples.result(), events.result(), eventRels.result())
   }
 }

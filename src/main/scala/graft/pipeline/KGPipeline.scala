@@ -83,7 +83,8 @@ object KGPipeline {
     * identical). The extractor is broadcast; its Aho-Corasick automaton
     * builds once per executor. */
   final case class Extraction(
-      mentions: DataFrame, triples: DataFrame, events: DataFrame)
+      mentions: DataFrame, triples: DataFrame, events: DataFrame,
+      eventRels: DataFrame)
 
   def extract(spark: SparkSession, chunks: Dataset[ChunkRow],
       stageDir: Option[String] = None): Extraction = {
@@ -95,14 +96,15 @@ object KGPipeline {
       val seen = scala.collection.mutable.HashSet.empty[String]
       it.flatMap { c =>
         if (seen.add(c.chunk_id)) {
-          val (ms, ts, es) = ex.extractAll(c.chunk_id, c.url, c.content)
+          val (ms, ts, es, rs) = ex.extractAll(c.chunk_id, c.url, c.content)
           Iterator.single((c.chunk_id,
             ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
             ts.map(t => (t.subj, t.pred, t.obj, t.description)),
-            es.map(e => (e.ord, e.content, e.eventType, e.participants))))
+            es.map(e => (e.ord, e.content, e.eventType, e.participants)),
+            rs.map(r => (r.headOrd, r.tailOrd, r.relationType, r.description))))
         } else Iterator.empty
       }
-    }.toDF("chunk_id", "mentions", "triples", "events")
+    }.toDF("chunk_id", "mentions", "triples", "events", "event_rels")
       .dropDuplicates("chunk_id")
     // The extraction result fans out to ~10 downstream consumers. Two
     // sharing modes:
@@ -144,7 +146,38 @@ object KGPipeline {
         col("chunk_id"),
         col("e._2").as("content"), col("e._3").as("event_type"),
         col("e._4").as("participants"))
-    Extraction(mentions, triples, events)
+    // event relations, endpoints as same-chunk event ids (the extractor
+    // already resolved ords against the fired events — E4 semantics)
+    val eventRels = both
+      .select(col("chunk_id"), explode(col("event_rels")).as("r"))
+      .select(col("chunk_id"),
+        concat(col("chunk_id"), lit("_event_"), col("r._1")).as("head_event_id"),
+        concat(col("chunk_id"), lit("_event_"), col("r._2")).as("tail_event_id"),
+        col("r._3").as("relation_type"), col("r._4").as("description"))
+    Extraction(mentions, triples, events, eventRels)
+  }
+
+  /** G6 event-relation edges: the reference stores one EVENT_RELATION
+    * edge per (head content, tail content, type), matching event nodes
+    * BY CONTENT (event_graphrag_neo4j.py:428-477). Spark form: resolve
+    * each endpoint to its content representative (min event_id per
+    * content — the same duplicate-content collapse the event-KNN G13
+    * uses), then one dedup aggregate keyed (head, tail, type). The
+    * representative map is vocabulary-bounded; n_sources counts the
+    * chunk-level provenance the per-row MERGEs would have replayed. */
+  def eventEdges(events: DataFrame, eventRels: DataFrame): DataFrame = {
+    val rep = events
+      .groupBy("content").agg(min("event_id").as("rep_id"))
+      .join(events.select(col("event_id"), col("content")), "content")
+      .select(col("event_id"), col("rep_id"))
+    eventRels
+      .join(rep.withColumnRenamed("event_id", "head_event_id")
+        .withColumnRenamed("rep_id", "head_id"), "head_event_id")
+      .join(rep.withColumnRenamed("event_id", "tail_event_id")
+        .withColumnRenamed("rep_id", "tail_id"), "tail_event_id")
+      .groupBy("head_id", "tail_id", "relation_type")
+      .agg(min("description").as("description"),
+        count(lit(1)).as("n_sources"))
   }
 
   /** Full in-memory DAG (stage-checkpointed variant in [[Lineage]]). */
@@ -158,7 +191,8 @@ object KGPipeline {
       nameMap: DataFrame,
       edges: DataFrame,
       participates: DataFrame,
-      eventSimilar: DataFrame)
+      eventSimilar: DataFrame,
+      eventEdges: DataFrame)
 
   def run(spark: SparkSession, nPages: Long, partitions: Int = 32): Result =
     runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions))
@@ -171,6 +205,7 @@ object KGPipeline {
     val chunks = chunk(pages, fromHtml)
     val ex = extract(spark, chunks, stageDir)
     val (mentions, triples, events) = (ex.mentions, ex.triples, ex.events)
+    val evEdges = eventEdges(events, ex.eventRels)
     // chunkId in mentions/triples refers to the distinct chunk; re-join
     // provenance (all urls containing the chunk) happens on demand
     val (entities, nameMap0) = Canonicalizer.canonicalize(
@@ -195,6 +230,6 @@ object KGPipeline {
     // embeddings, cosine >= 0.85, top-10 per event
     val eventSimilar = Canonicalizer.eventKnn(events)
     Result(pages, chunks, mentions, triples, events, entities, nameMap,
-      edges, participates, eventSimilar)
+      edges, participates, eventSimilar, evEdges)
   }
 }

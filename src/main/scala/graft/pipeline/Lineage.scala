@@ -119,6 +119,9 @@ object KGJob {
     val mentions = lin.stage("mentions")(extracted.mentions)
     val triples = lin.stage("triples")(extracted.triples)
     val events = lin.stage("events")(extracted.events)
+    val eventEdges = lin.stage("event_edges") {
+      KGPipeline.eventEdges(events, extracted.eventRels)
+    }
     lazy val cano = graft.canon.Canonicalizer.canonicalize(
       mentions.withColumnRenamed("chunk_id", "chunkId"))
     val entities = lin.stage("entities")(cano._1)
@@ -139,7 +142,8 @@ object KGJob {
     Seq(
       "pages" -> pages.count(), "chunks" -> chunks.count(),
       "mentions" -> mentions.count(), "triples" -> triples.count(),
-      "events" -> events.count(), "entities" -> entities.count(),
+      "events" -> events.count(), "event_edges" -> eventEdges.count(),
+      "entities" -> entities.count(),
       "edges" -> edges.count(), "participates" -> participates.count(),
       "event_similar" -> eventSimilar.count())
   }

@@ -61,8 +61,16 @@ object GraphSink {
       lit("SIMILAR_TO").as("edge_type"), lit(null: String).as("pred"),
       col("src_event").as("src"), col("dst_event").as("dst"),
       col("rank"), lit(1L).as("n_sources"))
+    // G6: typed event->event logic edges (EVENT_RELATION {type},
+    // reference event_graphrag_neo4j.py:428-477)
+    val eventRel = r.eventEdges.select(
+      lit("EVENT_RELATION").as("edge_type"),
+      col("relation_type").as("pred"),
+      col("head_id").as("src"), col("tail_id").as("dst"),
+      lit(0).as("rank"), col("n_sources"))
     entityRel.unionByName(contains).unionByName(mentions)
       .unionByName(participates).unionByName(similar)
+      .unionByName(eventRel)
   }
 
   /** Write both tables partitioned by class (bulk write — the

@@ -79,7 +79,7 @@ class ExtractorSpec extends AnyFunSuite {
       val gold = item.get("metadata").get("events").elements().asScala.map { e =>
         (e.get("content").asText(), e.get("type").asText())
       }.toSet
-      val (_, _, events) = extractor.extractAll(s"chunk_$i", s"fixture://$i",
+      val (_, _, events, _) = extractor.extractAll(s"chunk_$i", s"fixture://$i",
         item.get("content").asText())
       val got = events.map(e => (e.content, e.eventType)).toSet
       assert(got == gold, s"chunk $i: extra=${got -- gold} missing=${gold -- got}")
@@ -90,11 +90,38 @@ class ExtractorSpec extends AnyFunSuite {
     val item = fixture(0)
     val goldNames = item.get("metadata").get("entities").elements().asScala
       .map(_.get("entity_name").asText()).toSet
-    val (_, _, events) = extractor.extractAll("c", "u", item.get("content").asText())
+    val (_, _, events, _) = extractor.extractAll("c", "u", item.get("content").asText())
     assert(events.nonEmpty)
     val parts = events.flatMap(_.participants)
     assert(parts.nonEmpty)
     assert(parts.forall(goldNames), s"unknown participants: ${parts.filterNot(goldNames)}")
+  }
+
+  test("event relations fire on fixture chunks, endpoints resolved to fired events") {
+    val kb = KnowledgeBase.load()
+    assert(kb.eventRelations.nonEmpty, "KB carries no event-relation specs")
+    // all four contract types present (promt.py:152-154) — the
+    // non-vacuous guarantee the fixture (0 event_relations) cannot give
+    assert(kb.eventRelations.map(_.relationType).toSet ==
+      Set("时序关系", "因果关系", "层级关系", "条件关系"))
+    var total = 0
+    fixture.zipWithIndex.foreach { case (item, i) =>
+      val contents = item.get("metadata").get("events").elements().asScala
+        .map(_.get("content").asText()).toVector
+      val idx = contents.zipWithIndex.toMap
+      // E4 semantics: a relation appears iff both endpoint events fired;
+      // endpoint ords = the fired events' within-chunk positions
+      val expected = kb.eventRelations
+        .filter(r => idx.contains(r.headContent) && idx.contains(r.tailContent))
+        .map(r => (idx(r.headContent), idx(r.tailContent), r.relationType)).toSet
+      val (_, _, _, rels) = extractor.extractAll(s"chunk_$i", s"fixture://$i",
+        item.get("content").asText())
+      val got = rels.map(r => (r.headOrd, r.tailOrd, r.relationType)).toSet
+      assert(got == expected, s"chunk $i: extra=${got -- expected} missing=${expected -- got}")
+      total += got.size
+    }
+    assert(total == kb.eventRelations.size,
+      s"authored specs fired $total times over the fixture, expected each exactly once")
   }
 
   test("extraction is deterministic and order-stable") {

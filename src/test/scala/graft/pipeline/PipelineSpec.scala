@@ -121,6 +121,25 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/chunks").count() > 0)
   }
 
+  test("event-relation edges materialize non-vacuously with resolved endpoints") {
+    val r = KGPipeline.run(spark, 150, partitions = 4)
+    val edges = r.eventEdges.persist()
+    assert(edges.count() > 0, "no event-relation edges fired (G6 vacuous)")
+    // all four prompt-contract relation types reach the graph
+    val types = edges.select("relation_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("时序关系", "因果关系", "层级关系", "条件关系"),
+      s"missing relation types: got $types")
+    // endpoints resolve to existing event nodes (MATCH-by-content
+    // semantics: dangling endpoints are impossible by construction)
+    val eventIds = r.events.select(col("event_id").as("head_id"))
+    val dangling = edges.join(eventIds, Seq("head_id"), "left_anti")
+    assert(dangling.count() == 0, "edge references a missing event")
+    // no self-loops: distinct contents by construction
+    assert(edges.filter(col("head_id") === col("tail_id")).count() == 0)
+    edges.unpersist()
+  }
+
   test("canonicalization is a fixpoint: re-canonicalizing representatives is a no-op") {
     // if two representatives were still >= 0.95-similar they would have
     // been one component in round 1, so round 2 must produce singleton

@@ -253,6 +253,47 @@ def main():
             eok = False
     print(f"events exact-match: {eok} ({len(events)} specs)")
 
+    # ---- event relations (时序/因果/层级/条件) -----------------------
+    # The fixture carries 0 event_relations, so these specs are authored
+    # from the prompt contract (promt.py:152-154: only explicit logical
+    # relations between step-1 events; types 层级/时序/因果/条件) against
+    # the fixture's own event chains. Relations reference events BY
+    # CONTENT — the post-resolution form of _process_event_relations
+    # (event_GraphExtractor.py:178-204: head_event_content/
+    # tail_event_content) and the MATCH-by-content store key
+    # (event_graphrag_neo4j.py:428-477). A spec fires in a chunk iff
+    # both endpoint events fired there (resolution drops the rest, E4).
+    RELATION_RULES = [
+        # (src_chunk, head_ord, tail_ord, type, description)
+        (0, 1, 0, "因果关系", "原因分析：插座摆放距板边太近导致连接线锁扣干涉问题"),
+        (0, 0, 2, "时序关系", "发现干涉问题后提出改善方案"),
+        (0, 2, 3, "时序关系", "确定改善方案后分配整改责任"),
+        (4, 0, 1, "时序关系", "企业标准先发布后实施"),
+        (5, 0, 1, "时序关系", "蒸发器设计规范先发布后实施"),
+        (5, 3, 4, "层级关系", "目次前言条目是章节列表的组成部分"),
+        (6, 1, 0, "时序关系", "按GB/T 1.1规则编制起草后经审定通过并发布"),
+        (6, 5, 6, "时序关系", "起草完成后进行审核"),
+        (6, 6, 7, "时序关系", "审核通过后批准"),
+        (7, 2, 3, "条件关系", "若规范性引用文件注日期，仅所注日期的版本适用"),
+        (7, 2, 4, "条件关系", "若规范性引用文件不注日期，其最新版本适用"),
+    ]
+    ev_by_key = {(t["src_chunk"], t["ord"]): t for t in events}
+    event_relations = []
+    for (sc, ho, to, rt, desc) in RELATION_RULES:
+        h = ev_by_key.get((sc, ho))
+        t = ev_by_key.get((sc, to))
+        assert h and t, f"relation rule references missing event ({sc},{ho},{to})"
+        event_relations.append({
+            "head_content": h["content"], "tail_content": t["content"],
+            "type": rt, "description": desc,
+            "evidence": [], "forbid": [],
+        })
+    # sanity: all four contract types covered, endpoints fire together
+    # exactly on the source chunk (event specs are already chunk-exact)
+    assert {r["type"] for r in event_relations} == \
+        {"时序关系", "因果关系", "层级关系", "条件关系"}
+    print(f"event relations: {len(event_relations)} specs")
+
     # entity gazetteer: every distinct entity with its evidence
     ents = {}
     for i, it in enumerate(d):
@@ -274,6 +315,7 @@ def main():
         "events": [{k: t[k] for k in
                     ("content", "type", "participants", "evidence", "forbid", "ord")}
                    for t in events],
+        "event_relations": event_relations,
     }
     import os
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
