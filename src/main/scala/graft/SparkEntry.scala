@@ -98,6 +98,11 @@ object SparkEntry {
     "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
     "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
     "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topK(s, d)),
+    // deterministic zh corpus (pages-table text) + CJK-segmented BM25;
+    // the oracle re-reads the dumped corpus and runs the SAME
+    // segmentation regex in RE2
+    "zh_corpus" -> ((s, _) => graft.ops.BM25Ops.zhCorpus(s)),
+    "bm25_topk_zh" -> ((s, _) => graft.ops.BM25Ops.topKZh(s)),
     // --- retrieval read path (SURVEY.md §2.5) ---
     "retrieval_rrf" -> ((s, d) => graft.retrieval.Retrieval.rrf(
       graft.retrieval.Retrieval.multipath(s, d, "spark join vector"))),
@@ -363,6 +368,31 @@ object SparkEntry {
           |       FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) GROUP BY 1)
           |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, score
           |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      // same Okapi math as bm25_topk, over the zh corpus dump with the
+      // cross-engine segmentation pattern (ZhTokenizer: longest-first
+      // alternation == greedy longest match in Java regex AND RE2)
+      "bm25_topk_zh" -> {
+        val pat = graft.text.ZhTokenizer.pattern
+        s"""WITH docs AS (SELECT doc_id, text FROM read_parquet('__OUT__/zh_corpus/*.parquet')),
+           |toks0 AS (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS tok FROM docs),
+           |toks AS (SELECT * FROM toks0 WHERE NOT regexp_matches(tok, '^[ \\t\\n\\x0B\\f\\r]$$')),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+           |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM docs) AS n,
+           |                 (SELECT avg(dl) FROM dl) AS avgdl),
+           |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+           |idf0 AS (SELECT tok, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf_raw FROM df),
+           |aidf AS (SELECT avg(idf_raw) AS a FROM idf0),
+           |idf AS (SELECT tok, CASE WHEN idf_raw < 0 THEN 0.25 * (SELECT a FROM aidf)
+           |                         ELSE idf_raw END AS idf FROM idf0),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           |       WHERE tok IN ('蒸发器设计规范', '质量', '整改') GROUP BY 1, 2),
+           |sc AS (SELECT tf.doc_id,
+           |         round(sum(idf.idf * tf.tf * 2.5 /
+           |           (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6) AS score
+           |       FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) GROUP BY 1)
+           |SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank, score
+           |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+      },
       "mm_decode_meta" ->
         """SELECT doc_id,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -40,7 +40,48 @@ object BM25Ops {
       query: Seq[String] = Seq("spark", "join", "vector"),
       k: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val toks = tokens(docs).persist()
+    okapiTopK(spark, docs, tokens(docs), query, k)
+  }
+
+  /** CJK-aware BM25 (the reference demonstrates jieba pre-tokenization
+    * for Chinese as BM25's `preprocess_func` plug-in —
+    * examples/test/tantivy_example.py:10-12, core/retrieval/bm25.py:
+    * 85-89). Whitespace splitting scores zh sentences as single tokens;
+    * this variant segments with [[graft.text.ZhTokenizer]]: greedy
+    * longest-match over a broadcast-in-the-plan lexicon, compiled to an
+    * alternation regex whose semantics are identical in Java regex and
+    * RE2 — so the DuckDB oracle runs the very same pattern. The corpus
+    * is the deterministic zh page text ([[zhCorpus]]). */
+  def topKZh(spark: SparkSession,
+      query: Seq[String] = Seq("蒸发器设计规范", "质量", "整改"),
+      k: Int = 20, nPages: Long = 400): DataFrame = {
+    val docs = zhCorpus(spark, nPages)
+    val toks = docs.select(col("doc_id"), explode(
+        regexp_extract_all(col("text"),
+          lit(graft.text.ZhTokenizer.pattern), lit(0))).as("tok"))
+      // drop whitespace fallback tokens (class spelled explicitly:
+      // Java \s and RE2 \s disagree on U+000B)
+      .filter(!col("tok").rlike("^[ \\t\\n\\x0B\\f\\r]$"))
+    okapiTopK(spark, docs, toks, query, k)
+  }
+
+  /** Deterministic zh corpus: the synthetic pages' markdown text
+    * (zh-language pages only) — the pipeline's own input, so the BM25
+    * oracle can re-read it from the Verify dump. */
+  def zhCorpus(spark: SparkSession, nPages: Long = 400): DataFrame = {
+    import spark.implicits._
+    spark.range(0, nPages, 1, 8).map { id =>
+      val p = graft.pages.PagesGenerator.page(id)
+      (id, p.text, p.lang)
+    }.toDF("doc_id", "text", "lang")
+      .filter(col("lang") === "zh")
+      .select("doc_id", "text")
+  }
+
+  /** Okapi scoring over a prepared (doc_id, tok) stream. */
+  private def okapiTopK(spark: SparkSession, docs: DataFrame,
+      toks0: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val toks = toks0.persist()
     try {
       val nDocs = docs.count().toDouble
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))

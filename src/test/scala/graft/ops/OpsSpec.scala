@@ -149,6 +149,47 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("zh tokenizer: greedy longest-match with single-char fallback") {
+    import graft.text.ZhTokenizer
+    assert(ZhTokenizer.tokenize("蒸发器设计规范与质量记录X") ==
+      Vector("蒸发器设计规范", "与", "质量", "记录", "X"))
+    assert(!ZhTokenizer.tokenize("质量 整改\n测试").exists(t =>
+      t.length == 1 && t.charAt(0).isWhitespace))
+    // longest-first: the full entity name wins over its sub-words
+    assert(ZhTokenizer.lexicon.contains("蒸发器设计规范"))
+    assert(ZhTokenizer.tokenize("蒸发器设计规范").head == "蒸发器设计规范")
+  }
+
+  test("bm25 zh matches a local segmented-okapi oracle") {
+    import graft.text.ZhTokenizer
+    val docs = BM25Ops.zhCorpus(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length > 100, "zh corpus unexpectedly small")
+    val query = Seq("蒸发器设计规范", "质量", "整改")
+    val toks = docs.map { case (id, t) => id -> ZhTokenizer.tokenize(t) }.toMap
+    val n = docs.length.toDouble
+    val dls = toks.view.mapValues(_.length.toDouble).toMap
+    val avgdl = dls.values.sum / dls.size
+    val dfs = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val idfRaw = dfs.view.mapValues(df => math.log((n - df + 0.5) / (df + 0.5))).toMap
+    val avgIdf = idfRaw.values.sum / idfRaw.size
+    val idf = idfRaw.view.mapValues(v => if (v < 0) 0.25 * avgIdf else v).toMap
+    val scores = toks.map { case (id, ts) =>
+      val tf = ts.groupBy(identity).view.mapValues(_.length).toMap
+      val s = query.flatMap { t =>
+        tf.get(t).map { f =>
+          idf(t) * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
+        }
+      }.sum
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2 != 0.0).toSeq
+    val expected = scores.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
+    val got = BM25Ops.topKZh(spark).orderBy("rank")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "zh query terms matched nothing")
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs at the threshold") {
     val lsh = DedupOps.minhashLshPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
