@@ -42,15 +42,32 @@ object Bench {
       // cores and starves the heaviest narrow stage
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
+      // the canonicalization aggs (collect_set + typed Aggregators) run
+      // as ObjectHashAggregate, whose default sort-based fallback fires
+      // at 128 distinct keys — a full per-partition sort at vocabulary
+      // cardinality; the capped accumulators keep per-group state small,
+      // so hash aggregation is safe far beyond the default
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
+  /** Fingerprint of the page generator: two probe pages hashed. Keys
+    * the materialized-table cache so a generator change can never
+    * silently reuse a stale pages table. */
+  private lazy val genTag: String = {
+    val probe = graft.pages.PagesGenerator.page(0).text +
+      graft.pages.PagesGenerator.page(12345).text
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(probe.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  }
+
   /** Materialize the synthetic pages table (untimed input synthesis —
     * the real job reads an existing Iceberg table). */
   private def preparePages(cpus: Int, nPages: Long): String = {
-    val dir = s"/tmp/graft_bench_pages_$nPages"
+    val dir = s"/tmp/graft_bench_pages_${nPages}_$genTag"
     if (!new java.io.File(s"$dir/_SUCCESS").exists() ||
         !new java.io.File(s"${dir}_warm10k/_SUCCESS").exists()) {
       val spark = session(cpus)
@@ -85,8 +102,8 @@ object Bench {
 
   /** One timed end-to-end KG run at a given parallelism, reading the
     * materialized pages table; an untimed warm-up run first absorbs
-    * JIT/codegen. Returns (seconds, nTriples, nEdges). */
-  def kgMeasure(cpus: Int, pagesDir: String): (Double, Long, Long) = {
+    * JIT/codegen. Returns (seconds, nTriples, nEdges, nEntities). */
+  def kgMeasure(cpus: Int, pagesDir: String): (Double, Long, Long, Long) = {
     val spark = session(cpus)
     try {
       import spark.implicits._
@@ -127,17 +144,18 @@ object Bench {
       val r = t("construct+cc")(graft.pipeline.KGPipeline.runOnPages(spark, pages,
         stageDir = Some(s"${pagesDir}_stage$cpus")))
       val nEdges = t("edgesCount")(r.edges.count()) // forces the whole DAG
+      val nEntities = t("entitiesCount")(r.entities.count())
       val nTriples = t("triplesCount")(r.triples.count()) // cached extraction
       if (verbose || sys.env.contains("GRAFT_KG_JOBS"))
         jobLog.forEach(l => System.err.println(s"[kgjob] $l"))
-      ((System.nanoTime() - t0) / 1e9, nTriples, nEdges)
+      ((System.nanoTime() - t0) / 1e9, nTriples, nEdges, nEntities)
     } finally spark.stop()
   }
 
   /** Fork a fresh JVM (same classpath + module opens) that runs
     * `Bench kg <cpus> <pagesDir>` and emits one "KGRESULT sec triples
     * edges" line — the sandbox analogue of an isolated spark-submit. */
-  private def kgRunForked(cpus: Int, pagesDir: String): (Double, Long, Long) = {
+  private def kgRunForked(cpus: Int, pagesDir: String): (Double, Long, Long, Long) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val opens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -161,13 +179,18 @@ object Bench {
     // child can never block on a full pipe while we read stdout
     val pb = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT)
+    // scaling evidence measures the DISTRIBUTED CC fixpoint — the path
+    // a real cluster takes at web vocabulary — not the driver-solve
+    // shortcut (both are correctness-equivalent; see
+    // ConnectedComponentsSpec)
+    pb.environment().put("GRAFT_CC_LOCAL_MAX", "0")
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
     out.linesIterator.find(_.startsWith("KGRESULT")) match {
       case Some(l) =>
         val p = l.split("\\s+")
-        (p(1).toDouble, p(2).toLong, p(3).toLong)
+        (p(1).toDouble, p(2).toLong, p(3).toLong, p(4).toLong)
       case None => sys.error(s"forked kg run produced no KGRESULT: $out")
     }
   }
@@ -220,8 +243,8 @@ object Bench {
     }
     if (args.length == 3 && args(0) == "kg") {
       // forked child: single timed measurement, machine-readable line
-      val (sec, triples, edges) = kgMeasure(args(1).toInt, args(2))
-      println(s"KGRESULT $sec $triples $edges")
+      val (sec, triples, edges, entities) = kgMeasure(args(1).toInt, args(2))
+      println(s"KGRESULT $sec $triples $edges $entities")
       return
     }
 
@@ -252,7 +275,7 @@ object Bench {
       // actual capability under one-sided noise.
       val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       val levels = Seq(n1, n2, cpus).distinct // coincide at low SPARK_GRAFT_CPUS
-      val best = scala.collection.mutable.HashMap.empty[Int, (Double, Long, Long)]
+      val best = scala.collection.mutable.HashMap.empty[Int, (Double, Long, Long, Long)]
       // 3 reps: the host drifts between quiet and contended windows on
       // a ~10-minute scale (measured same-binary 8-core spreads of
       // 49.5-74.5 s with ~0 steal — neighbor memory-bandwidth pressure,
@@ -265,14 +288,15 @@ object Bench {
         raw += ((cp, r._1))
         if (!best.contains(cp) || r._1 < best(cp)._1) best(cp) = r
       }
-      val (t1, _, _) = best(n1)
-      val (t2, _, _) = best(n2)
-      val (t3, triples, edges) = best(cpus)
+      val (t1, _, _, _) = best(n1)
+      val (t2, _, _, _) = best(n2)
+      val (t3, triples, edges, entities) = best(cpus)
       val eff = (t1 / t2) / (n2.toDouble / n1)
       val effHigh = (t2 / t3) / (cpus.toDouble / n2)
       val rawJson = raw.map { case (c, t) => f"""{"cores":$c,"sec":$t%.3f}""" }
         .mkString("[", ",", "]")
       f"""{"pages":$kgPages,"triples":$triples,"edges":$edges,""" +
+        f""""entities":$entities,"cc_path":"distributed",""" +
         f""""all_runs":$rawJson,""" +
         f""""n_small":$n1,"n_large":$n2,"n_xlarge":$cpus,""" +
         f""""sec_small":$t1%.3f,"sec_large":$t2%.3f,"sec_xlarge":$t3%.3f,""" +

@@ -66,12 +66,18 @@ object Canonicalizer {
 
   private val normalizeNameUdf = udf(normalizeName _)
   private val embedUdf = udf((s: String) => HashingEmbedder.embed(embedKey(s)))
+  /** 16 of the 32 minhash bands: every merge-relevant alias pair is
+    * embedding-identical (embedKey folds case/punct/space variants), so
+    * J = 1 pairs collide on EVERY band; 16 bands still detect a
+    * hypothetical J = 0.8 near-miss with P = 1-(1-0.8^4)^16 ≈ 0.9998
+    * while halving the band-join volume. */
+  private val NameBands = 16
   private val bandsUdf = udf { (s: String) =>
     // shingle the embedding-normalized form so spacing/punct alias
     // variants land in identical bands (their embeddings are identical)
     val k = embedKey(s)
     val shingles = if (k.length < 3) Set(k) else k.sliding(3).toSet
-    MinHasher.bandKeys(MinHasher.signature(shingles))
+    MinHasher.bandKeys(MinHasher.signature(shingles)).take(NameBands)
   }
 
   /** Mentions (entityName, entityType, entityDescription, chunkId) ->
@@ -159,6 +165,11 @@ object Canonicalizer {
         .withColumn("entity_type", col("first_w.entityType"))
         .drop("first_w")
         .withColumn("embedding", embedUdf(col("display_name")))
+        // bands materialize INSIDE the checkpoint: the banding self-join
+        // references this frame four times (two join sides + the
+        // band-size guard), and an uncheckpointed UDF would re-run the
+        // 128-minhash signature per reference
+        .withColumn("bands", bandsUdf(col("display_name")))
         .localCheckpoint(true)
     }
 
@@ -178,8 +189,13 @@ object Canonicalizer {
     // sets) but quadratic cost, so it is dropped. 128 minhashes over
     // 32 bands make a *real* near-dup cluster collide on many bands, so
     // dropping the pathological ones costs ~no recall.
-    val banded0 = names.select(col("name_key"), col("embedding"),
-        explode(bandsUdf(col("display_name"))).as("band"))
+    // THIN band join: only (name_key, band) rides the self-join shuffle
+    // — shipping the 64-float embeddings through the banding explode
+    // multiplied the shuffle volume by ~10x at a 10^5-name vocabulary;
+    // embeddings join back onto the (much smaller) candidate pair set
+    // for the exact verify.
+    val banded0 = names.select(col("name_key"),
+        explode(col("bands")).as("band"))
     val banded = banded0.join(
       banded0.groupBy("band").agg(count(lit(1)).as("band_n"))
         .filter(col("band_n") <= MaxBandSize)
@@ -187,22 +203,40 @@ object Canonicalizer {
       Seq("band"))
     val a = banded.as("a")
     val b = banded.as("b")
-    val candidates = a.join(b,
+    val candPairs = a.join(b,
         col("a.band") === col("b.band") &&
           col("a.name_key") < col("b.name_key"))
-      .select(col("a.name_key").as("src"), col("b.name_key").as("dst"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.name_key").as("src"), col("b.name_key").as("dst"))
       .distinct()
-    val verified = candidates
-      .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
-      .filter(col("cos") >= MergeThreshold)
-      .select("src", "dst")
-
-    probe("lshVerify")(verified.count())
+    probe("candPairs")(System.err.println(
+      s"[canon candPairs n] ${candPairs.count()} of ${names.count()} names"))
+    val embs = names.select(col("name_key"), col("embedding"))
+    val candidates = candPairs
+      .join(embs.withColumnRenamed("name_key", "src")
+        .withColumnRenamed("embedding", "ea"), "src")
+      .join(embs.withColumnRenamed("name_key", "dst")
+        .withColumnRenamed("embedding", "eb"), "dst")
+    // checkpointed: the verify join sits on the banding self-join; its
+    // output (vocabulary-bounded edge list) feeds CC, the CC vertex
+    // cover, and — through comps — both the entity agg and the name
+    // map. Uncached, every consumer re-executes the whole LSH join
+    // (measured 3x ~10 s at a 60k-name vocabulary).
+    val verified = graft.pipeline.Jobs.named(spark, "canon: LSH band join + cosine verify (G9)") {
+      candidates
+        .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
+        .filter(col("cos") >= MergeThreshold)
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
 
     // ---- G10 connected components --------------------------------------
-    val comps = timed("cc")(ConnectedComponents.runWithVertices(
-      verified, names.select(col("name_key").as("id"))))
+    // comps checkpointed for the same reason: entity agg + name map
+    // both join through it
+    val comps = timed("cc")(graft.pipeline.Jobs.named(spark, "canon: connected components (G10)") {
+      ConnectedComponents.runWithVertices(
+        verified, names.select(col("name_key").as("id")))
+        .localCheckpoint(true)
+    })
 
     // ---- G11 representative merge ---------------------------------------
     val withComp = names.join(
@@ -277,13 +311,24 @@ object Canonicalizer {
     * fraction of the corpus), so a single-phase `collect_set(chunkId)`
     * would funnel millions of rows into a handful of groups with
     * unbounded map-side set state — the same hot-key pattern as G12. */
+  /** Above this name-map row count the endpoint joins fall back to
+    * shuffle joins (a broadcast table must fit executor memory); below
+    * it the map broadcasts and the (much larger) triple stream never
+    * shuffles before the edge aggregate — the same dictionary-broadcast
+    * rule the extraction stage uses. ~5M rows ≈ low hundreds of MB. */
+  val BroadcastNameMapMax = 5000000L
+
   def rewriteTriples(triples: DataFrame, nameMap: DataFrame): DataFrame = {
-    val subjMap = nameMap
+    // nameMap is checkpointed by the callers, so the count is a cheap
+    // metadata-ish job, not a recompute of the canonicalization DAG
+    val small = nameMap.count() <= BroadcastNameMapMax
+    def side(m: DataFrame): DataFrame = if (small) broadcast(m) else m
+    val subjMap = side(nameMap
       .withColumnRenamed("entity_name", "subj")
-      .withColumnRenamed("canonical_id", "subj_id")
-    val objMap = nameMap
+      .withColumnRenamed("canonical_id", "subj_id"))
+    val objMap = side(nameMap
       .withColumnRenamed("entity_name", "obj")
-      .withColumnRenamed("canonical_id", "obj_id")
+      .withColumnRenamed("canonical_id", "obj_id"))
     triples
       .join(subjMap, "subj")
       .join(objMap, "obj")

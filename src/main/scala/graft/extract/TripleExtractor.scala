@@ -97,6 +97,22 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     kb.eventRelations.map(r =>
       (r, r.evidence.map(patternIndex), r.forbid.map(patternIndex)))
 
+  // ---- open-vocabulary pattern detection ------------------------------
+  // A closed gazetteer bounds entity cardinality at dictionary size;
+  // real web NER is dictionary + pattern hybrid. Component model codes
+  // (prefix + separator + 5 base-36 chars) are detected structurally —
+  // unbounded vocabulary, zero dictionary, one regex pass per chunk.
+  // The 属于 template additionally yields (code, 属于关系, category)
+  // triples — the open-vocabulary relation stream that scales the edge
+  // table with the corpus instead of the KB.
+  // Patterns are compiled once per extractor (broadcast with it).
+  @transient private lazy val codeMentionRe =
+    java.util.regex.Pattern.compile(
+      "(?<![0-9A-Za-z])(?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5}(?![0-9A-Za-z])")
+  @transient private lazy val codeRelRe =
+    java.util.regex.Pattern.compile(
+      "部件型号[:：]((?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5})，属于([^，。]{2,24}组件)。")
+
   /** Extract mentions + triples from one chunk. */
   def extract(chunkId: String, url: String, content: String)
       : (Vector[Mention], Vector[Triple]) = {
@@ -121,6 +137,26 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
       }
     }
 
+    // open-vocabulary pass: structural code mentions + 属于 template
+    // triples (categories become mentions too, so both triple endpoints
+    // resolve in the canonical name map)
+    val cm = codeMentionRe.matcher(normalized)
+    while (cm.find()) {
+      val s = cm.group()
+      if (seen.add(s)) {
+        mentions += Mention(chunkId, url, s, s, "部件型号", "")
+      }
+    }
+    val crm = codeRelRe.matcher(normalized)
+    val codeTriples = Vector.newBuilder[(String, String)]
+    while (crm.find()) {
+      val cat = crm.group(2)
+      if (seen.add(cat)) {
+        mentions += Mention(chunkId, url, cat, cat, "部件类别", "")
+      }
+      codeTriples += ((crm.group(1), cat))
+    }
+
     // triples + E7 cleaning + (subj,pred,obj) dedup
     val seenT = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
     val triples = Vector.newBuilder[Triple]
@@ -128,6 +164,11 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
       val fires = ev.nonEmpty && ev.forall(hits) && !fb.exists(hits)
       if (fires && seenT.add((t.subj, t.pred, t.obj))) {
         triples += Triple(chunkId, url, t.subj, t.pred, t.obj, t.description)
+      }
+    }
+    codeTriples.result().foreach { case (code, cat) =>
+      if (seenT.add((code, "属于关系", cat))) {
+        triples += Triple(chunkId, url, code, "属于关系", cat, "")
       }
     }
 

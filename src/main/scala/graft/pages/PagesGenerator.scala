@@ -52,6 +52,79 @@ object PagesGenerator {
   lazy val aliasSurfaces: Vector[String] =
     aliasBases.flatMap(graft.extract.KnowledgeBase.aliasVariants)
 
+  // ---- open vocabulary: component model codes ------------------------
+  // The gazetteer bounds entity cardinality at corpus-vocabulary size
+  // (63 names); real web corpora have open vocabularies. Pages plant
+  // Zipf-distributed synthetic component codes (pattern-detectable, no
+  // dictionary) with punctuation/case variant surfaces, so the
+  // canonicalization stages (G12 lowercase merge, G9 LSH banding, G10
+  // CC, G11 representative merge) run at 10^5+ distinct entities in the
+  // bench instead of the closed-gazetteer toy size.
+
+  /** Fixed vocabulary size — scale-independent so page(id) stays a pure
+    * function of id (Zipf head repeats at any corpus size; the tail
+    * unfolds as pages grow). */
+  val CodeVocab = 400000L
+  val CodePrefixes = Vector("KJ", "XH", "BJ", "DZ")
+  /** Category names the 属于 relation targets (all end in 组件 so the
+    * relation template is unambiguous). */
+  val CodeCategories: Vector[String] = Vector(
+    "压缩机组件", "蒸发器组件", "冷凝器组件", "节流组件", "风机组件",
+    "电机组件", "电控组件", "传感组件", "管路组件", "阀门组件",
+    "换热组件", "风道组件", "面板组件", "底盘组件", "接线组件",
+    "滤网组件", "显示组件", "遥控组件", "支架组件", "密封组件",
+    "隔音组件", "排水组件", "加湿组件", "净化组件", "导风组件",
+    "轴承组件", "叶轮组件", "外壳组件", "紧固组件", "减震组件",
+    "绝缘组件", "散热组件")
+
+  private val base36 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** Canonical surface of vocabulary entry `idx` (injective). The
+    * index is scrambled through a bijection on [0, 36^5) first —
+    * sequential encoding would give the Zipf head near-identical
+    * strings ("KJ-00001", "KJ-00002", …), whose shared shingles blow
+    * the LSH bands up quadratically (measured 9.7M candidate pairs at
+    * a 43k vocabulary); real part numbers are string-diverse. */
+  def codeOf(idx: Long): String = {
+    val sb = new StringBuilder(8)
+    sb ++= CodePrefixes(((idx % 4) + 4).toInt % 4)
+    sb += '-'
+    // 2654435761 is coprime to 36^5 = 2^10 * 3^10 => bijective
+    var v = (idx * 2654435761L) % 60466176L
+    var i = 0
+    val digits = new Array[Char](5)
+    while (i < 5) { digits(4 - i) = base36((v % 36).toInt); v /= 36; i += 1 }
+    sb ++= new String(digits)
+    sb.toString
+  }
+
+  /** O(1) Zipf(1) rank over CodeVocab: inverse-CDF of density ~1/r via
+    * exp of a uniform draw (P(rank k) ~ 1/(k ln V)). */
+  def zipfCode(id: Long, slot: Long): Long = {
+    val u = ((rand(id, slot) >>> 11).toDouble / (1L << 53).toDouble) // [0,1)
+    val r = math.floor(math.exp(u * math.log(CodeVocab.toDouble))).toLong
+    math.min(math.max(r, 1L), CodeVocab) - 1L
+  }
+
+  /** Variant surface of a code: the alias noise canonicalization must
+    * merge back. All punctuation variants embed identically (embedKey
+    * strips the separator), so they merge on the LSH+CC path; the
+    * lowercase variant merges on the G12 path. */
+  def codeSurface(idx: Long, id: Long, slot: Long): String = {
+    val canonical = codeOf(idx)
+    val v = (((rand(id, slot) % 10) + 10) % 10).toInt
+    v match {
+      case 0 | 1 | 2 | 3 => canonical                      // 40%
+      case 4 | 5 => canonical.replace("-", "")             // 20% fused
+      case 6 => canonical.toLowerCase                      // 10% case
+      case 7 => canonical.replace("-", ".")                // 10% dotted
+      case 8 => canonical.replace("-", "_")                // 10% underscore
+      case _ => canonical.replace("-", " ")                // 10% spaced
+      // (the spaced form collapses to the fused form under the
+      // extractor's whitespace-stripping normalization)
+    }
+  }
+
   private val fillerZh = Vector(
     "本期通报涵盖生产过程中的质量情况与整改进展",
     "请各相关部门按照要求落实整改措施并及时反馈",
@@ -115,6 +188,12 @@ object PagesGenerator {
         val alias = pick(aliasSurfaces, id, 50 + f)
         sb ++= s"<p>相关部件：$alias，详见附录。</p>"
       }
+      // open-vocabulary component code (Zipf-drawn, variant surface) +
+      // its 属于 relation to a per-code category
+      val codeIdx = zipfCode(id, 60 + f)
+      val surface = codeSurface(codeIdx, id, 70 + f)
+      val cat = CodeCategories((codeIdx % CodeCategories.length).toInt)
+      sb ++= s"<p>部件型号：$surface，属于$cat。</p>"
       f += 1
     }
     if ((rand(id, 6) & 7L) == 0L) {

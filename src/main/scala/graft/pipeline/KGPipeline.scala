@@ -30,7 +30,8 @@ object KGPipeline {
       ord: Int,
       header_level: Int,
       header_name: String,
-      content: String)
+      content: String,
+      content_hash: String)
 
   /** The reference chunk identity "chunk_" + md5(content)[:8]
     * (Base_Neo4j.py:95-107), computed in-flatMap with a thread-local
@@ -41,19 +42,25 @@ object KGPipeline {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def chunkId(content: String): String = {
+  /** Full md5 hex of the content (collision-free for practical
+    * purposes — the deterministic dedup key; chunk_id keeps the
+    * reference's lossy 8-hex form). */
+  def md5Hex(content: String): String = {
     val md = md5Local.get()
     md.reset()
     val d = md.digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = new StringBuilder(8)
+    val hex = new StringBuilder(32)
     var i = 0
-    while (i < 4) { // first 8 hex chars = first 4 bytes
+    while (i < 16) {
       hex.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
       hex.append(Character.forDigit(d(i) & 0xf, 16))
       i += 1
     }
-    "chunk_" + hex
+    hex.toString
   }
+
+  def chunkId(content: String): String =
+    "chunk_" + md5Hex(content).substring(0, 8)
 
   /** Chunking: narrow flatMap. `text` recomputed from html when
     * `fromHtml` (exercises the byte-identity stage S1); chunk identity
@@ -67,7 +74,9 @@ object KGPipeline {
         else p.text
       MarkdownSplitter.split(text).zipWithIndex.collect {
         case (s, i) if s.content.nonEmpty =>
-          ChunkRow(chunkId(s.content), p.url, i, s.header.level, s.header.name, s.content)
+          val h = md5Hex(s.content)
+          ChunkRow("chunk_" + h.substring(0, 8), p.url, i,
+            s.header.level, s.header.name, s.content, h)
       }
     }
   }
@@ -91,21 +100,33 @@ object KGPipeline {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(
       new TripleExtractor(KnowledgeBase.load().withAliases))
-    val raw = chunks.mapPartitions { it =>
+    val raw0 = chunks.mapPartitions { it =>
       val ex = bc.value
       val seen = scala.collection.mutable.HashSet.empty[String]
       it.flatMap { c =>
-        if (seen.add(c.chunk_id)) {
+        if (seen.add(c.content_hash)) {
           val (ms, ts, es, rs) = ex.extractAll(c.chunk_id, c.url, c.content)
-          Iterator.single((c.chunk_id,
+          Iterator.single((c.chunk_id, c.content_hash,
             ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
             ts.map(t => (t.subj, t.pred, t.obj, t.description)),
             es.map(e => (e.ord, e.content, e.eventType, e.participants)),
             rs.map(r => (r.headOrd, r.tailOrd, r.relationType, r.description))))
         } else Iterator.empty
       }
-    }.toDF("chunk_id", "mentions", "triples", "events", "event_rels")
-      .dropDuplicates("chunk_id")
+    }.toDF("chunk_id", "content_hash", "mentions", "triples", "events", "event_rels")
+    // chunk_id is the reference's 8-hex md5 prefix (G1): at web scale
+    // DIFFERENT contents collide in the 32-bit id space (~1k collisions
+    // per 3M distinct chunks), and a dropDuplicates survivor would
+    // depend on partition order — min_by(full content hash) pins a
+    // deterministic first-writer per id, so output is identical at any
+    // parallelism
+    val raw = raw0
+      .groupBy("chunk_id")
+      .agg(min_by(struct(col("mentions"), col("triples"), col("events"),
+        col("event_rels")), col("content_hash")).as("w"))
+      .select(col("chunk_id"), col("w.mentions").as("mentions"),
+        col("w.triples").as("triples"), col("w.events").as("events"),
+        col("w.event_rels").as("event_rels"))
     // The extraction result fans out to ~10 downstream consumers. Two
     // sharing modes:
     //  - stageDir set (production/bench shape): write once, re-read — a

@@ -87,6 +87,11 @@ object KGJob {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.session: the canonicalization aggs carry capped
+      // accumulator state, so hash aggregation is safe far beyond the
+      // 128-key sort-fallback default
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
@@ -110,7 +115,10 @@ object KGJob {
       KGPipeline.chunk(pages.as[graft.pages.Page]).toDF()
     }
     val distinct = lin.stage("chunks_distinct") {
-      chunks.dropDuplicates("chunk_id")
+      // keyed by FULL content hash (deterministic: identical contents
+      // are identical rows); the lossy 8-hex chunk_id dedup happens
+      // deterministically inside extract (min_by content_hash)
+      chunks.dropDuplicates("content_hash")
     }
     // lazy: when a resumed run finds both outputs committed, the
     // upstream computation (incl. the eager CC fixpoint) never runs

@@ -23,10 +23,13 @@ object GraphSink {
 
   /** Unified labeled node table from the pipeline result. */
   def nodes(r: KGPipeline.Result): DataFrame = {
+    // min-struct survivor: deterministic under chunk_id collisions
+    // (dropDuplicates would pick by partition order)
     val chunkNodes = r.chunks.toDF()
-      .select(lit("Chunk").as("label"), col("chunk_id").as("node_id"),
-        col("header_name").as("name"), col("content"))
-      .dropDuplicates("node_id")
+      .groupBy(col("chunk_id").as("node_id"))
+      .agg(min(struct(col("header_name").as("name"), col("content"))).as("w"))
+      .select(lit("Chunk").as("label"), col("node_id"),
+        col("w.name").as("name"), col("w.content").as("content"))
     val eventNodes = r.events
       .select(lit("Event").as("label"), col("event_id").as("node_id"),
         col("event_type").as("name"), col("content"))

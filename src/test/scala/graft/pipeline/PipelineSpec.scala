@@ -121,6 +121,29 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/chunks").count() > 0)
   }
 
+  test("open-vocabulary codes: variant surfaces merge, 属于 edges resolve") {
+    import org.apache.spark.sql.functions.col
+    val r = KGPipeline.run(spark, 300, partitions = 4)
+    val codes = r.entities.filter(col("entity_type") === "部件型号").persist()
+    val n = codes.count()
+    assert(n > 50, s"open vocabulary too small: $n")
+    // every punctuation/case/space variant of one code embeds to the
+    // same key — if two canonical entities share one, a merge was missed
+    val keys = codes.select("entity_name").collect()
+      .map(row => graft.canon.Canonicalizer.embedKey(row.getString(0)))
+    assert(keys.distinct.length == keys.length,
+      s"unmerged code variants: ${keys.diff(keys.distinct).take(5).mkString(", ")}")
+    // Zipf head: hot codes were seen under >1 surface and merged
+    assert(codes.filter(col("n_merged_names") > 1).count() > 0,
+      "no variant merges happened in the open vocabulary")
+    // the 属于 relation stream reaches the edge table with both
+    // endpoints canonical (inner-join semantics drop nothing silently
+    // here because category mentions are emitted alongside)
+    val belongEdges = r.edges.filter(col("pred") === "属于关系")
+    assert(belongEdges.count() > 0, "no 属于 edges materialized")
+    codes.unpersist()
+  }
+
   test("event-relation edges materialize non-vacuously with resolved endpoints") {
     val r = KGPipeline.run(spark, 150, partitions = 4)
     val edges = r.eventEdges.persist()
