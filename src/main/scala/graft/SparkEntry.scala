@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, d) => graft.dedup.DedupOps.jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => graft.dedup.DedupOps.minhashLshPairs(s, d)),
     "dedup_simhash" -> ((s, d) => graft.dedup.DedupOps.simhashPairs(s, d)),
+    "simhash_values" -> ((s, d) => graft.dedup.DedupOps.simhashValues(s, d)),
     // --- similarity search family ---
     "ann_topk" -> ((s, d) => graft.ops.VectorOps.annTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => graft.ops.VectorOps.annTopKLsh(s, d)),
@@ -418,6 +419,15 @@ object SparkEntry {
       // __OUT__ is replaced by Verify with the absolute dump directory:
       // the oracle recomputes the exact side + the recall arithmetic
       // independently over the dumped approximate results
+      // banding-completeness check: exact all-pairs Hamming <= 3 over
+      // the dumped simhash values must equal the banded+verified pairs
+      "dedup_simhash" ->
+        """WITH v AS (SELECT doc_id, simhash
+          |           FROM read_parquet('__OUT__/simhash_values/*.parquet'))
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          |FROM v a JOIN v b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
       "ann_recall" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
           |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -441,6 +451,25 @@ object SparkEntry {
           |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_exact, 6) AS recall
           |FROM (VALUES ('ivf'), ('lsh')) f(family)
           |LEFT JOIN h ON f.family = h.family CROSS JOIN n""".stripMargin,
+      // C2 token windows: same lossless tokenizer regex (whitespace
+      // class spelled explicitly for Java/RE2 agreement), windows of 64
+      // tokens at stride 56, concatenation reproduces the text; the
+      // trailing-window rule (stop after the window that reaches the
+      // end) becomes the generate_series upper bound
+      "chunk_token_windows" ->
+        """WITH toks AS (
+          |  SELECT doc_id, regexp_extract_all(text,
+          |    ' ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+') AS t
+          |  FROM documents),
+          |w AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+          |ks AS (SELECT doc_id, t, n,
+          |         unnest(generate_series(0,
+          |           CASE WHEN n <= 64 THEN 0
+          |                ELSE CAST(ceil((n - 64) / 56.0) AS INT) END)) AS k
+          |       FROM w)
+          |SELECT doc_id, CAST(k AS INT) AS ord,
+          |       array_to_string(t[k*56 + 1 : k*56 + 64], '') AS chunk
+          |FROM ks""".stripMargin,
       "q_time_window" ->
         """SELECT date_trunc('hour', ts) AS window_start, event_type,
           |       count(*) AS n_events, round(sum(value), 6) AS sum_value

@@ -138,12 +138,26 @@ object DedupOps {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** The per-document 64-bit simhash values — dumped so the driver's
+    * oracle can verify [[simhashPairs]]' banding independently: DuckDB
+    * recomputes ALL pairs at Hamming <= 3 from these values
+    * (bit_count(xor(...))), which must equal the banded+verified pair
+    * set exactly (the 4x16 pigeonhole guarantees completeness). The
+    * hash VALUES are trust-the-dump; the pair-generation logic is not. */
+  def simhashValues(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, text) => (id, SimHasher.simhash(text)) }
+      }.toDF("doc_id", "simhash")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash over whitespace
     * tokens, banded into 4 x 16-bit blocks (pigeonhole: any pair at
     * Hamming distance <= 3 shares a block), block equi-join for
     * candidates, exact Hamming verify. The hash family is ours
-    * (splitmix64) so there is no SQL oracle — covered by ScalaTest +
-    * the driver's rows-only check. */
+    * (splitmix64) so the oracle runs against the dumped
+    * [[simhashValues]] (see there). */
   def simhashPairs(spark: SparkSession, sfDir: String,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
