@@ -105,8 +105,16 @@ object SparkEntry {
     "zh_corpus" -> ((s, _) => graft.ops.BM25Ops.zhCorpus(s)),
     "bm25_topk_zh" -> ((s, _) => graft.ops.BM25Ops.topKZh(s)),
     // --- retrieval read path (SURVEY.md §2.5) ---
+    // rounded to 9dp for the cross-engine compare (the <= 2 addends per
+    // doc make the double sum order-insensitive; rounding is belt+braces)
     "retrieval_rrf" -> ((s, d) => graft.retrieval.Retrieval.rrf(
-      graft.retrieval.Retrieval.multipath(s, d, "spark join vector"))),
+        graft.retrieval.Retrieval.multipath(s, d, "spark join vector"))
+      .select(col("doc_id"), round(col("rrf_score"), 9).as("rrf_score"),
+        col("n_lists"))),
+    // dense-retriever scores dump: the rrf oracle re-ranks these and
+    // recomputes the BM25 list + fusion arithmetic independently
+    "dense_scores" -> ((s, d) =>
+      new graft.retrieval.DenseRetriever().retrieve(s, d, "spark join vector", 50)),
     // thresholds chosen >= 1.6e-3 from the nearest data point at both
     // sf0.01 and sf0.1 (so float-vs-double cannot flip membership) AND
     // with non-empty results — a 0-row oracle row proves nothing
@@ -419,6 +427,35 @@ object SparkEntry {
       // __OUT__ is replaced by Verify with the absolute dump directory:
       // the oracle recomputes the exact side + the recall arithmetic
       // independently over the dumped approximate results
+      // multipath+RRF over (bm25 recomputed in SQL, k=50) and (dense
+      // ranks re-derived from the dumped scores): the fusion arithmetic,
+      // list ranks, and BM25 list are all independently recomputed
+      "retrieval_rrf" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+          |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          |idf0 AS (SELECT tok, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf_raw FROM df),
+          |aidf AS (SELECT avg(idf_raw) AS a FROM idf0),
+          |idf AS (SELECT tok, CASE WHEN idf_raw < 0 THEN 0.25 * (SELECT a FROM aidf)
+          |                         ELSE idf_raw END AS idf FROM idf0),
+          |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+          |       WHERE tok IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+          |sc AS (SELECT tf.doc_id,
+          |         round(sum(idf.idf * tf.tf * 2.5 /
+          |           (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))), 6) AS score
+          |       FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) GROUP BY 1),
+          |bm AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+          |       FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+          |dn0 AS (SELECT doc_id, score FROM read_parquet('__OUT__/dense_scores/*.parquet')),
+          |dn AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank FROM dn0),
+          |u AS (SELECT doc_id, rank FROM bm UNION ALL SELECT doc_id, rank FROM dn)
+          |SELECT doc_id, round(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 9) AS rrf_score,
+          |       count(*) AS n_lists
+          |FROM u GROUP BY doc_id ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
       // banding-completeness check: exact all-pairs Hamming <= 3 over
       // the dumped simhash values must equal the banded+verified pairs
       "dedup_simhash" ->
