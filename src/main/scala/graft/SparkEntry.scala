@@ -71,6 +71,7 @@ object SparkEntry {
     "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
     "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
       .select("head_id", "tail_id", "relation_type", "n_sources")),
+    "kg_integrity" -> ((s, d) => graft.sink.GraphSink.integrity(kg(s, d))),
     // --- relational core (SURVEY.md §2.6) ---
     "q_agg_upsert" -> ((s, d) => graft.ops.RelationalOps.aggUpsert(s, d)),
     "q_agg_pricing" -> ((s, d) => graft.ops.RelationalOps.aggPricing(s, d)),
@@ -427,6 +428,33 @@ object SparkEntry {
       // __OUT__ is replaced by Verify with the absolute dump directory:
       // the oracle recomputes the exact side + the recall arithmetic
       // independently over the dumped approximate results
+      // graph referential integrity recomputed from the dumped tables:
+      // anti-join counts must be zero AND must agree with Spark's
+      "kg_integrity" ->
+        """WITH ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
+          |evs AS (SELECT event_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |chs AS (SELECT DISTINCT chunk_id FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
+          |edges AS (SELECT subj_id, obj_id FROM read_parquet('__OUT__/kg_edges/*.parquet')),
+          |parts AS (SELECT canonical_id, event_id FROM read_parquet('__OUT__/kg_participates/*.parquet')),
+          |ee AS (SELECT head_id, tail_id FROM read_parquet('__OUT__/kg_event_edges/*.parquet')),
+          |evsrc AS (SELECT chunk_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |tr AS (SELECT chunk_id FROM read_parquet('__OUT__/kg_triples/*.parquet'))
+          |SELECT 'edges_dangling_subj' AS check_name, count(*) AS violations
+          |  FROM edges WHERE subj_id NOT IN (SELECT canonical_id FROM ents)
+          |UNION ALL SELECT 'edges_dangling_obj', count(*)
+          |  FROM edges WHERE obj_id NOT IN (SELECT canonical_id FROM ents)
+          |UNION ALL SELECT 'participates_dangling_entity', count(*)
+          |  FROM parts WHERE canonical_id NOT IN (SELECT canonical_id FROM ents)
+          |UNION ALL SELECT 'participates_dangling_event', count(*)
+          |  FROM parts WHERE event_id NOT IN (SELECT event_id FROM evs)
+          |UNION ALL SELECT 'event_edges_dangling_head', count(*)
+          |  FROM ee WHERE head_id NOT IN (SELECT event_id FROM evs)
+          |UNION ALL SELECT 'event_edges_dangling_tail', count(*)
+          |  FROM ee WHERE tail_id NOT IN (SELECT event_id FROM evs)
+          |UNION ALL SELECT 'events_dangling_chunk', count(*)
+          |  FROM evsrc WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)
+          |UNION ALL SELECT 'triples_dangling_chunk', count(*)
+          |  FROM tr WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)""".stripMargin,
       // multipath+RRF over (bm25 recomputed in SQL, k=50) and (dense
       // ranks re-derived from the dumped scores): the fusion arithmetic,
       // list ranks, and BM25 list are all independently recomputed

@@ -96,6 +96,38 @@ object GraphSink {
     n.unionByName(e).select("kind", "class", "count")
   }
 
+  /** Referential-integrity gate over the whole graph: every edge
+    * endpoint must resolve to an existing node (the Cypher-MATCH
+    * no-dangling guarantee the bulk-relational encoding must preserve).
+    * Emitted as data rows so the driver's oracle can recompute each
+    * count independently from the dumped tables — a violations>0 row
+    * or a Spark-vs-DuckDB join-semantics divergence both break the
+    * correctness gate. */
+  def integrity(r: KGPipeline.Result): DataFrame = {
+    val ents = r.entities.select(col("canonical_id"))
+    val evs = r.events.select(col("event_id"))
+    val chs = r.chunks.toDF().select(col("chunk_id")).distinct()
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    Seq(
+      cnt("edges_dangling_subj", r.edges.join(
+        ents.withColumnRenamed("canonical_id", "subj_id"), Seq("subj_id"), "left_anti")),
+      cnt("edges_dangling_obj", r.edges.join(
+        ents.withColumnRenamed("canonical_id", "obj_id"), Seq("obj_id"), "left_anti")),
+      cnt("participates_dangling_entity", r.participates.join(
+        ents, Seq("canonical_id"), "left_anti")),
+      cnt("participates_dangling_event", r.participates.join(
+        evs, Seq("event_id"), "left_anti")),
+      cnt("event_edges_dangling_head", r.eventEdges.join(
+        evs.withColumnRenamed("event_id", "head_id"), Seq("head_id"), "left_anti")),
+      cnt("event_edges_dangling_tail", r.eventEdges.join(
+        evs.withColumnRenamed("event_id", "tail_id"), Seq("tail_id"), "left_anti")),
+      cnt("events_dangling_chunk", r.events.join(chs, Seq("chunk_id"), "left_anti")),
+      cnt("triples_dangling_chunk", r.triples.join(chs, Seq("chunk_id"), "left_anti"))
+    ).reduce(_.unionByName(_))
+  }
+
   /** G15 delete-by-class (reference event_graphrag_neo4j.py:578-598):
     * with label-partitioned tables this is a partition drop. */
   def deleteClass(spark: SparkSession, outDir: String, label: String): Unit = {
