@@ -37,4 +37,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(RelationalOps.antiJoin(spark, sf0001))
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("triple endpoint rewrite broadcasts the name map (no triple-stream shuffle join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val triples = Seq(("c1", "a", "属于关系", "b", ""), ("c2", "b", "属于关系", "a", ""))
+      .toDF("chunkId", "subj", "pred", "obj", "description")
+    val nameMap = Seq(("a", 1L), ("b", 2L)).toDF("entity_name", "canonical_id")
+      .localCheckpoint(true)
+    val p = plan(graft.canon.Canonicalizer.rewriteTriples(triples, nameMap))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("zh BM25 scoring joins stay broadcast on the query/idf side") {
+    val p = plan(BM25Ops.topKZh(spark, nPages = 50))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
