@@ -210,7 +210,13 @@ object Canonicalizer {
       .distinct()
     probe("candPairs")(System.err.println(
       s"[canon candPairs n] ${candPairs.count()} of ${names.count()} names"))
-    val embs = names.select(col("name_key"), col("embedding"))
+    // embedding lookup: broadcast below the same cap the name-map join
+    // uses (names is checkpointed, count is cheap) — a sort-merge join
+    // here would sort the candidate stream twice; above the cap the
+    // shuffle join is the correct choice
+    val embs0 = names.select(col("name_key"), col("embedding"))
+    val embs =
+      if (names.count() <= BroadcastNameMapMax / 8) broadcast(embs0) else embs0
     val candidates = candPairs
       .join(embs.withColumnRenamed("name_key", "src")
         .withColumnRenamed("embedding", "ea"), "src")
