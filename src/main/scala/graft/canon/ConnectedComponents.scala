@@ -32,7 +32,9 @@ object ConnectedComponents {
     * distributed fixpoint — the path a real cluster would take — even
     * when the synthetic vocabulary sits under the driver-solve cap). */
   val LocalSolveMax: Long =
-    sys.env.get("GRAFT_CC_LOCAL_MAX").map(_.toLong).getOrElse(500000L)
+    sys.env.get("GRAFT_CC_LOCAL_MAX")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(500000L) // malformed values fall back, not crash the JVM
 
   def run(edgesIn: DataFrame, maxIter: Int = 50,
       localSolveMax: Long = LocalSolveMax): DataFrame = {

@@ -147,9 +147,12 @@ object VectorOps {
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
 
     // triangle-inequality candidate list pairs (ordered, diagonal once);
-    // epsilon absorbs float->double noise in the radii — pruning must
-    // only ever be conservative, the exact cosine verify does the rest
-    val maxAngle = math.acos(threshold) + 1e-6
+    // epsilon absorbs float->double noise in the radii. acos AMPLIFIES
+    // cosine rounding error by 1/sqrt(1-x^2) — a ~1e-7 cosine error at
+    // x ~ 1-1e-9 becomes ~2e-3 rad — so the slack must dominate that
+    // worst case; 1e-2 rad costs ~no pruning (bounds are rad-scale) and
+    // keeps the prune strictly conservative, the exact verify does the rest
+    val maxAngle = math.acos(threshold) + 1e-2
     def pivotAngle(i: Int, j: Int): Double =
       math.acos(math.max(-1.0, math.min(1.0,
         graft.embed.HashingEmbedder.cosine(pivots(i), pivots(j)))))
@@ -191,7 +194,10 @@ object VectorOps {
     * regression breaks the correctness row. */
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // persisted: consumed twice (count + hit join) — without it the
+    // O(N x queries) exact scan executes twice per call
     val exact = annTopK(spark, sfDir).select("query_id", "neighbor_id")
+      .persist()
     val nExact = exact.count()
     val approx =
       annTopKLsh(spark, sfDir).select("query_id", "neighbor_id")

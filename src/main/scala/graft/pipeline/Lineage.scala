@@ -35,10 +35,22 @@ final class Lineage(
 
   /** Run (or resume) one stage. The returned frame always reads from
     * the committed parquet, so downstream stages see identical data
-    * whether the stage ran or was skipped. */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    * whether the stage ran or was skipped.
+    *
+    * @param requires columns the committed output must carry to be
+    *   reusable: a resume against an outDir written by an older library
+    *   version whose stage schema predates them recomputes the stage
+    *   instead of crashing downstream with a missing-column error. */
+  def stage(name: String, requires: Seq[String] = Nil)
+      (compute: => DataFrame): DataFrame = {
     val path = s"$outDir/$name"
-    if (!(resume && committed(path))) {
+    val reusable = resume && committed(path) && (requires.isEmpty || {
+      try {
+        val cols = spark.read.parquet(path).columns.toSet
+        requires.forall(cols)
+      } catch { case _: Exception => false }
+    })
+    if (!reusable) {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(path)
       val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -111,10 +123,10 @@ object KGJob {
     val pages = lin.stage("pages") {
       PagesGenerator.pages(spark, nPages, partitions).toDF()
     }
-    val chunks = lin.stage("chunks") {
+    val chunks = lin.stage("chunks", requires = Seq("content_hash")) {
       KGPipeline.chunk(pages.as[graft.pages.Page]).toDF()
     }
-    val distinct = lin.stage("chunks_distinct") {
+    val distinct = lin.stage("chunks_distinct", requires = Seq("content_hash")) {
       // keyed by FULL content hash (deterministic: identical contents
       // are identical rows); the lossy 8-hex chunk_id dedup happens
       // deterministically inside extract (min_by content_hash)
@@ -124,7 +136,7 @@ object KGJob {
     // upstream computation (incl. the eager CC fixpoint) never runs
     lazy val extracted = KGPipeline.extract(spark,
       distinct.as[KGPipeline.ChunkRow])
-    val mentions = lin.stage("mentions")(extracted.mentions)
+    val mentions = lin.stage("mentions", requires = Seq("ord"))(extracted.mentions)
     val triples = lin.stage("triples")(extracted.triples)
     val events = lin.stage("events")(extracted.events)
     val eventEdges = lin.stage("event_edges") {

@@ -23,11 +23,15 @@ object GraphSink {
 
   /** Unified labeled node table from the pipeline result. */
   def nodes(r: KGPipeline.Result): DataFrame = {
-    // min-struct survivor: deterministic under chunk_id collisions
-    // (dropDuplicates would pick by partition order)
+    // min_by(content_hash) survivor: the SAME rule extract() uses for
+    // 8-hex chunk_id collisions, so the Chunk node's text is always the
+    // content whose extraction results are stored under that id (a
+    // min-over-(name, content) rule could pick the OTHER colliding
+    // content and leave the node text inconsistent with its edges)
     val chunkNodes = r.chunks.toDF()
       .groupBy(col("chunk_id").as("node_id"))
-      .agg(min(struct(col("header_name").as("name"), col("content"))).as("w"))
+      .agg(min_by(struct(col("header_name").as("name"), col("content")),
+        col("content_hash")).as("w"))
       .select(lit("Chunk").as("label"), col("node_id"),
         col("w.name").as("name"), col("w.content").as("content"))
     val eventNodes = r.events

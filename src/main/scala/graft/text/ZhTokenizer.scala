@@ -48,9 +48,12 @@ object ZhTokenizer {
   lazy val pattern: String =
     lexicon.mkString("(?:", "|", "|[\\s\\S])")
 
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
   /** Local segmentation (Java regex) — test oracle and driver-side use. */
   def tokenize(text: String): Vector[String] = {
-    val m = java.util.regex.Pattern.compile(pattern).matcher(text)
+    val m = compiled.matcher(text)
     val out = Vector.newBuilder[String]
     while (m.find()) {
       val t = m.group()

@@ -163,6 +163,20 @@ class PipelineSpec extends SparkSpec {
     edges.unpersist()
   }
 
+  test("resume recomputes a committed stage whose schema predates required columns") {
+    val dir = Files.createTempDirectory("kg_schema").toString
+    KGJob.run(spark, 40, dir, resume = false, partitions = 2)
+    // simulate an outDir written by an older library version: the
+    // chunks stage without content_hash
+    val oldDf = spark.read.parquet(s"$dir/chunks")
+      .drop("content_hash").localCheckpoint(true)
+    oldDf.write.mode("overwrite").parquet(s"$dir/chunks")
+    // a naive resume would reuse the stale schema and crash downstream;
+    // the requires guard recomputes it instead
+    KGJob.run(spark, 40, dir, resume = true, partitions = 2)
+    assert(spark.read.parquet(s"$dir/chunks").columns.contains("content_hash"))
+  }
+
   test("canonicalization is a fixpoint: re-canonicalizing representatives is a no-op") {
     // if two representatives were still >= 0.95-similar they would have
     // been one component in round 1, so round 2 must produce singleton
