@@ -33,6 +33,51 @@ object StreamOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming KG front — incremental knowledge-graph construction
+    * over a pages STREAM: the same narrow chunk+extract stages the
+    * batch pipeline runs (they are stateless flatMaps, so they lift to
+    * Structured Streaming unchanged), with the chunk-exists resume
+    * filter (S11/G2, reference Base_Neo4j.py:109-158) in its
+    * streaming-native form: `dropDuplicatesWithinWatermark` on the
+    * full content hash, so re-crawled or duplicated pages extract
+    * exactly once within the watermark horizon and dedup state expires
+    * with it. Emits one row per first-seen chunk with the extraction
+    * result counts + triples. Canonicalization stays a periodic batch
+    * job over the appended extraction table (consolidation is a
+    * global fixpoint — not a per-row stream operator).
+    */
+  def streamingExtract(pages: Dataset[graft.pages.Page],
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      new graft.extract.TripleExtractor(
+        graft.extract.KnowledgeBase.load().withAliases))
+    val chunks = pages.flatMap { p =>
+      val text = graft.html.HtmlToMarkdown(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      graft.chunk.MarkdownSplitter.split(text).zipWithIndex.collect {
+        case (s, i) if s.content.nonEmpty =>
+          val h = graft.pipeline.KGPipeline.md5Hex(s.content)
+          (p.warc_ts, "chunk_" + h.substring(0, 8), h, p.url, s.content)
+      }
+    }.toDF("warc_ts", "chunk_id", "content_hash", "url", "content")
+    chunks
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .as[(java.sql.Timestamp, String, String, String, String)]
+      .mapPartitions { it =>
+        val ex = bc.value
+        it.map { case (_, cid, h, url, content) =>
+          val (ms, ts, es, rs) = ex.extractAll(cid, url, content)
+          (cid, h, ms.size, ts.size, es.size, rs.size,
+            ts.map(t => (t.subj, t.pred, t.obj)))
+        }
+      }
+      .toDF("chunk_id", "content_hash", "n_mentions", "n_triples",
+        "n_events", "n_event_rels", "triples")
+  }
+
   final case class Click(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
   final case class SessionState(n: Long, lastMs: Long)

@@ -10,6 +10,52 @@ class StreamOpsSpec extends SparkSpec {
 
   private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
 
+  test("streaming extract: exactly-once per distinct chunk across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[graft.pages.Page]
+    val q = StreamOps.streamingExtract(input.toDS())
+      .writeStream.format("memory").queryName("sx")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val batch1 = (0L until 5L).map(graft.pages.PagesGenerator.page)
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val n1 = spark.table("sx").count()
+      // batch 2 re-sends pages 0-2 (re-crawl) plus two new pages: only
+      // the NEW distinct chunk contents may emit extraction rows
+      val batch2 = (0L until 3L).map(graft.pages.PagesGenerator.page) ++
+        (5L until 7L).map(graft.pages.PagesGenerator.page)
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sx")
+      // expected: one row per distinct chunk content over pages 0-6
+      val expected = (0L until 7L).flatMap { id =>
+        val p = graft.pages.PagesGenerator.page(id)
+        graft.chunk.MarkdownSplitter.split(p.text)
+          .filter(_.content.nonEmpty)
+          .map(s => graft.pipeline.KGPipeline.md5Hex(s.content))
+      }.toSet
+      assert(got.count() == expected.size,
+        s"stream emitted ${got.count()} rows for ${expected.size} distinct chunks")
+      assert(got.count() > n1, "second batch added no new chunks — vacuous")
+      // extraction payload matches the batch extractor for a sample chunk
+      val ex = new graft.extract.TripleExtractor(
+        graft.extract.KnowledgeBase.load().withAliases)
+      val sample = got.filter(col("n_triples") > 0)
+        .select("chunk_id", "content_hash", "triples").head()
+      val chunkContent = (0L until 7L).iterator.flatMap { id =>
+        val p = graft.pages.PagesGenerator.page(id)
+        graft.chunk.MarkdownSplitter.split(p.text).map(_.content)
+      }.find(c => graft.pipeline.KGPipeline.md5Hex(c) == sample.getString(1)).get
+      val batchTriples = ex.extractAll(sample.getString(0), "u", chunkContent)
+        ._2.map(t => (t.subj, t.pred, t.obj))
+      val streamTriples = sample.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(streamTriples == batchTriples)
+    } finally q.stop()
+  }
+
   test("windowed counts over a memory stream match the batch aggregate") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
