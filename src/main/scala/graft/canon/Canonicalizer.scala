@@ -285,19 +285,29 @@ object Canonicalizer {
     // hot-entity star problem (SURVEY.md §4.3) in event form. The
     // reference's all-pairs KNN has the same blowup; this is the
     // documented scale deviation.
+    // checkpointed: the distinct-content embedding table feeds the band
+    // join (twice), and the candidate verify joins back onto it — the
+    // same thin-band-join shape as the entity LSH (G9): only
+    // (event_id, bucket) rides the self-join shuffle, embeddings attach
+    // to the (much smaller) candidate pair set
     val emb = events
       .groupBy(col("content"))
       .agg(min(col("event_id")).as("event_id"))
       .select(col("event_id"), embedContentUdf(col("content")).as("emb"))
-    val banded = emb.select(col("event_id"), col("emb"),
+      .localCheckpoint(true)
+    val banded = emb.select(col("event_id"),
       explode(bucketsUdf(col("emb"))).as("bucket"))
-    val cands = banded.as("a")
+    val candPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.event_id") =!= col("b.event_id"))
-      .select(col("a.event_id").as("src_event"), col("b.event_id").as("dst_event"),
-        col("a.emb").as("ea"), col("b.emb").as("eb"))
-      .dropDuplicates("src_event", "dst_event")
+      .select(col("a.event_id").as("src_event"), col("b.event_id").as("dst_event"))
+      .distinct()
+    val cands = candPairs
+      .join(emb.withColumnRenamed("event_id", "src_event")
+        .withColumnRenamed("emb", "ea"), "src_event")
+      .join(emb.withColumnRenamed("event_id", "dst_event")
+        .withColumnRenamed("emb", "eb"), "dst_event")
       .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
       .filter(col("cos") >= cutoff)
     val w = org.apache.spark.sql.expressions.Window
