@@ -290,11 +290,15 @@ object Canonicalizer {
     // same thin-band-join shape as the entity LSH (G9): only
     // (event_id, bucket) rides the self-join shuffle, embeddings attach
     // to the (much smaller) candidate pair set
+    // LAZY checkpoint: Result construction must not pay an eager job
+    // for a frame the caller may never consume (SparkEntry.entry uses
+    // only edges/entities); the first action materializes it once for
+    // all four plan references
     val emb = events
       .groupBy(col("content"))
       .agg(min(col("event_id")).as("event_id"))
       .select(col("event_id"), embedContentUdf(col("content")).as("emb"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val banded = emb.select(col("event_id"),
       explode(bucketsUdf(col("emb"))).as("bucket"))
     val candPairs = banded.as("a")

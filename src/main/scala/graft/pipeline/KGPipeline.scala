@@ -62,23 +62,28 @@ object KGPipeline {
   def chunkId(content: String): String =
     "chunk_" + md5Hex(content).substring(0, 8)
 
+  /** Chunk ONE page — the single chunk-identity recipe, shared by the
+    * batch flatMap and the streaming front so the two paths can never
+    * desynchronize on hashing/id assignment. */
+  def chunkPage(p: Page, fromHtml: Boolean = true): Seq[ChunkRow] = {
+    val text =
+      if (fromHtml) graft.html.HtmlToMarkdown(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+      else p.text
+    MarkdownSplitter.split(text).zipWithIndex.collect {
+      case (s, i) if s.content.nonEmpty =>
+        val h = md5Hex(s.content)
+        ChunkRow("chunk_" + h.substring(0, 8), p.url, i,
+          s.header.level, s.header.name, s.content, h)
+    }
+  }
+
   /** Chunking: narrow flatMap. `text` recomputed from html when
     * `fromHtml` (exercises the byte-identity stage S1); chunk identity
     * is the reference's content hash (G1). */
   def chunk(pages: Dataset[Page], fromHtml: Boolean = true): Dataset[ChunkRow] = {
     import pages.sparkSession.implicits._
-    pages.flatMap { p =>
-      val text =
-        if (fromHtml) graft.html.HtmlToMarkdown(
-          new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
-        else p.text
-      MarkdownSplitter.split(text).zipWithIndex.collect {
-        case (s, i) if s.content.nonEmpty =>
-          val h = md5Hex(s.content)
-          ChunkRow("chunk_" + h.substring(0, 8), p.url, i,
-            s.header.level, s.header.name, s.content, h)
-      }
-    }
+    pages.flatMap(p => chunkPage(p, fromHtml))
   }
 
   /** Mention + triple extraction, deduped to one result per distinct

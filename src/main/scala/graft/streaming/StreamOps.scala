@@ -35,16 +35,28 @@ object StreamOps {
 
   /** Streaming KG front — incremental knowledge-graph construction
     * over a pages STREAM: the same narrow chunk+extract stages the
-    * batch pipeline runs (they are stateless flatMaps, so they lift to
-    * Structured Streaming unchanged), with the chunk-exists resume
-    * filter (S11/G2, reference Base_Neo4j.py:109-158) in its
-    * streaming-native form: `dropDuplicatesWithinWatermark` on the
-    * full content hash, so re-crawled or duplicated pages extract
-    * exactly once within the watermark horizon and dedup state expires
-    * with it. Emits one row per first-seen chunk with the extraction
-    * result counts + triples. Canonicalization stays a periodic batch
-    * job over the appended extraction table (consolidation is a
-    * global fixpoint — not a per-row stream operator).
+    * batch pipeline runs (they are stateless flatMaps sharing
+    * `KGPipeline.chunkPage`, so stream and batch can never diverge on
+    * chunk identity), with the chunk-exists resume filter (S11/G2,
+    * reference Base_Neo4j.py:109-158) in its streaming-native form:
+    * `dropDuplicatesWithinWatermark` on the full content hash.
+    *
+    * The watermark rides INGEST time (current_timestamp at chunking),
+    * not the crawl timestamp: a replayed/backfilled WARC segment
+    * crawled hours ago must still extract — with an event-time
+    * watermark on warc_ts the stateful dedup would silently DROP those
+    * pages as late input. Ingest time only clocks dedup-state expiry;
+    * it never enters any identity or output column.
+    *
+    * Output schema == the batch extraction table (chunk_id,
+    * content_hash, mentions/triples/events/event_rels arrays), so the
+    * periodic batch consolidation applies the exact same
+    * min_by(content_hash)-per-chunk_id survivor rule and
+    * canonicalization the batch path runs — 8-hex chunk_id collisions
+    * across the appended table resolve there, deterministically
+    * (collision resolution is a global fixpoint, not a per-row stream
+    * operator; within the watermark horizon each content extracts
+    * exactly once).
     */
   def streamingExtract(pages: Dataset[graft.pages.Page],
       watermark: String = "1 hour"): DataFrame = {
@@ -53,29 +65,28 @@ object StreamOps {
     val bc = spark.sparkContext.broadcast(
       new graft.extract.TripleExtractor(
         graft.extract.KnowledgeBase.load().withAliases))
-    val chunks = pages.flatMap { p =>
-      val text = graft.html.HtmlToMarkdown(
-        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
-      graft.chunk.MarkdownSplitter.split(text).zipWithIndex.collect {
-        case (s, i) if s.content.nonEmpty =>
-          val h = graft.pipeline.KGPipeline.md5Hex(s.content)
-          (p.warc_ts, "chunk_" + h.substring(0, 8), h, p.url, s.content)
-      }
-    }.toDF("warc_ts", "chunk_id", "content_hash", "url", "content")
-    chunks
-      .withWatermark("warc_ts", watermark)
+    pages
+      .flatMap(p => graft.pipeline.KGPipeline.chunkPage(p))
+      .toDF()
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
-      .as[(java.sql.Timestamp, String, String, String, String)]
+      .select("chunk_id", "url", "ord", "header_level", "header_name",
+        "content", "content_hash")
+      .as[graft.pipeline.KGPipeline.ChunkRow]
       .mapPartitions { it =>
         val ex = bc.value
-        it.map { case (_, cid, h, url, content) =>
-          val (ms, ts, es, rs) = ex.extractAll(cid, url, content)
-          (cid, h, ms.size, ts.size, es.size, rs.size,
-            ts.map(t => (t.subj, t.pred, t.obj)))
+        it.map { c =>
+          val (ms, ts, es, rs) = ex.extractAll(c.chunk_id, c.url, c.content)
+          (c.chunk_id, c.content_hash,
+            ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
+            ts.map(t => (t.subj, t.pred, t.obj, t.description)),
+            es.map(e => (e.ord, e.content, e.eventType, e.participants)),
+            rs.map(r => (r.headOrd, r.tailOrd, r.relationType, r.description)))
         }
       }
-      .toDF("chunk_id", "content_hash", "n_mentions", "n_triples",
-        "n_events", "n_event_rels", "triples")
+      .toDF("chunk_id", "content_hash", "mentions", "triples", "events",
+        "event_rels")
   }
 
   final case class Click(user_id: Long, ts: java.sql.Timestamp)

@@ -39,19 +39,21 @@ class StreamOpsSpec extends SparkSpec {
       assert(got.count() == expected.size,
         s"stream emitted ${got.count()} rows for ${expected.size} distinct chunks")
       assert(got.count() > n1, "second batch added no new chunks — vacuous")
-      // extraction payload matches the batch extractor for a sample chunk
+      // extraction payload matches the batch extractor for a sample
+      // chunk (output schema == the batch extraction table, so the
+      // batch consolidation can consume the appended stream directly)
       val ex = new graft.extract.TripleExtractor(
         graft.extract.KnowledgeBase.load().withAliases)
-      val sample = got.filter(col("n_triples") > 0)
+      val sample = got.filter(size(col("triples")) > 0)
         .select("chunk_id", "content_hash", "triples").head()
       val chunkContent = (0L until 7L).iterator.flatMap { id =>
         val p = graft.pages.PagesGenerator.page(id)
         graft.chunk.MarkdownSplitter.split(p.text).map(_.content)
       }.find(c => graft.pipeline.KGPipeline.md5Hex(c) == sample.getString(1)).get
       val batchTriples = ex.extractAll(sample.getString(0), "u", chunkContent)
-        ._2.map(t => (t.subj, t.pred, t.obj))
+        ._2.map(t => (t.subj, t.pred, t.obj, t.description))
       val streamTriples = sample.getSeq[org.apache.spark.sql.Row](2)
-        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
       assert(streamTriples == batchTriples)
     } finally q.stop()
   }
