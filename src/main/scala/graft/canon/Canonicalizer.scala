@@ -186,9 +186,10 @@ object Canonicalizer {
     // hot-band guard (SURVEY.md §4.3): a band key shared by k names
     // contributes k^2/2 candidate pairs; beyond the cap the band carries
     // ~no signal (it is a degenerate hash, e.g. of near-empty shingle
-    // sets) but quadratic cost, so it is dropped. 128 minhashes over
-    // 32 bands make a *real* near-dup cluster collide on many bands, so
-    // dropping the pathological ones costs ~no recall.
+    // sets) but quadratic cost, so it is dropped. A *real* near-dup
+    // cluster collides on many of the NameBands (= 16) bands — alias
+    // variants on ALL of them — so dropping pathological bands costs
+    // ~no recall.
     // THIN band join: only (name_key, band) rides the self-join shuffle
     // — shipping the 64-float embeddings through the banding explode
     // multiplied the shuffle volume by ~10x at a 10^5-name vocabulary;
