@@ -112,8 +112,11 @@ object SparkEntry {
         graft.retrieval.Retrieval.multipath(s, d, "spark join vector"))
       .select(col("doc_id"), round(col("rrf_score"), 9).as("rrf_score"),
         col("n_lists"))),
-    // dense-retriever scores dump: the rrf oracle re-ranks these and
-    // recomputes the BM25 list + fusion arithmetic independently
+    // dense-retriever top-50 over the PRECOMPUTED embeddings table (no
+    // per-row embedding UDF over the corpus — the embedder runs only on
+    // the query string); oracle recomputes the cosine in explicit
+    // double arithmetic against the query-vector literal, and the rrf
+    // oracle additionally re-ranks this dump
     "dense_scores" -> ((s, d) =>
       new graft.retrieval.DenseRetriever().retrieve(s, d, "spark join vector", 50)),
     // thresholds chosen >= 1.6e-3 from the nearest data point at both
@@ -197,6 +200,29 @@ object SparkEntry {
   def textQuality(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       graft.text.TextOps.qualityScore(col("text")).as("quality"))
+
+  /** dense_scores oracle: cosine(query vector, embeddings.embedding) in
+    * explicit double arithmetic — each float is printed with 17
+    * significant digits so DuckDB parses exactly the double our codegen
+    * CosineSimilarity accumulates with; sums differ only in ulps across
+    * engines, absorbed by round(6) (same precision contract as the
+    * bm25 score rounding). */
+  private def denseScoresOracleSql: String = {
+    val qv = graft.retrieval.DenseRetriever.queryVec("spark join vector")
+    val values = qv.zipWithIndex.map { case (f, i) =>
+      s"(${i + 1}, CAST(${"%.17e".format(f.toDouble)} AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH q(i, qv) AS (VALUES $values),
+       |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |              unnest(embedding) AS ev FROM embeddings),
+       |s AS (SELECT vec_id AS doc_id,
+       |        sum(CAST(ev AS DOUBLE) * qv) /
+       |        sqrt(sum(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE)) *
+       |             (SELECT sum(qv * qv) FROM q)) AS score
+       |      FROM ex JOIN q USING (i) GROUP BY vec_id)
+       |SELECT doc_id, round(score, 6) AS score
+       |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+  }
 
   /** DuckDB oracle SQL — semantically identical to the Spark plans above.
     * Shared SQL fragments are inlined per query (DuckDB reads the same
@@ -412,6 +438,7 @@ object SparkEntry {
           |    || ',' || md5(substring(text, 201, 100)) || ',' || md5(substring(text, 301, 100))
           |    AS frames_joined
           |FROM documents""".stripMargin,
+      "dense_scores" -> denseScoresOracleSql,
       "retrieval_threshold" ->
         """SELECT b.vec_id FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
           |WHERE a.vec_id = 0 AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3""".stripMargin,

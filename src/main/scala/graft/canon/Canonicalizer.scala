@@ -211,13 +211,18 @@ object Canonicalizer {
       .distinct()
     probe("candPairs")(System.err.println(
       s"[canon candPairs n] ${candPairs.count()} of ${names.count()} names"))
-    // embedding lookup: broadcast below the same cap the name-map join
-    // uses (names is checkpointed, count is cheap) — a sort-merge join
+    // embedding lookup: broadcast below an explicitly BYTE-budgeted row
+    // cap (names is checkpointed, count is cheap) — a sort-merge join
     // here would sort the candidate stream twice; above the cap the
-    // shuffle join is the correct choice
+    // shuffle join is the correct choice. The cap is sized from the row
+    // width, not borrowed from the (narrow two-column) name-map cap:
+    // each row carries a 64-float array ≈ 256 B data + JVM array/row
+    // overhead ≈ 600 B, so 100k rows ≈ 60 MB — comfortably inside
+    // driver/executor broadcast budgets where 625k rows (the former
+    // BroadcastNameMapMax/8) would have been 300-500 MB.
     val embs0 = names.select(col("name_key"), col("embedding"))
     val embs =
-      if (names.count() <= BroadcastNameMapMax / 8) broadcast(embs0) else embs0
+      if (names.count() <= BroadcastEmbeddingMax) broadcast(embs0) else embs0
     val candidates = candPairs
       .join(embs.withColumnRenamed("name_key", "src")
         .withColumnRenamed("embedding", "ea"), "src")
@@ -338,6 +343,12 @@ object Canonicalizer {
     * shuffles before the edge aggregate — the same dictionary-broadcast
     * rule the extraction stage uses. ~5M rows ≈ low hundreds of MB. */
   val BroadcastNameMapMax = 5000000L
+
+  /** Broadcast cap for the (name_key, embedding ARRAY<FLOAT>[64]) lookup:
+    * ~600 B/row with JVM overhead -> 100k rows ≈ 60 MB broadcast. Wide
+    * rows get their own byte-derived budget instead of a share of the
+    * name-map row cap. */
+  val BroadcastEmbeddingMax = 100000L
 
   def rewriteTriples(triples: DataFrame, nameMap: DataFrame): DataFrame = {
     // nameMap is checkpointed by the callers, so the count is a cheap

@@ -102,8 +102,14 @@ object BM25Ops {
       val tf = toks
         .join(broadcast(queryDf), Seq("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // Restrict idf to the query terms BEFORE broadcasting: the idf
+      // aggregate covers the whole corpus vocabulary (multi-GB at web
+      // scale), but the scoring join only ever probes |query| rows of it.
+      // Semi-joining against the tiny query frame first makes the
+      // broadcast side <= |query| rows instead of |vocabulary|.
+      val idfQ = idf.join(broadcast(queryDf), Seq("tok")).select("tok", "idf")
       val scored = tf
-        .join(broadcast(idf.select("tok", "idf")), Seq("tok"))
+        .join(broadcast(idfQ), Seq("tok"))
         .join(dl, Seq("doc_id"))
         .withColumn("contrib",
           col("idf") * col("tf") * lit(K1 + 1) /

@@ -79,6 +79,38 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** One-time hyperplane-LSH bucket index over the embeddings table:
+    * (vec_id, embedding, bucket), one row per table key. At scale this
+    * is materialized ONCE (parquet partitioned/bucketed by `bucket`) and
+    * probed per query — the per-query cost is then an index lookup, not
+    * a corpus scan. */
+  def lshBucketIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketsUdf = udf((v: Seq[Float]) => HyperplaneLSH.tableKeys(v.toArray))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        explode(bucketsUdf(col("embedding"))).as("bucket"))
+  }
+
+  /** LSH-bucketed top-k for ONE external query vector (the dense
+    * retriever's scale path): candidates = vectors sharing any LSH
+    * table key with the query (an `isin` over the query's <= nTables
+    * keys — partition-prunable against a bucket-partitioned index),
+    * exact-cosine verified, top-k. Pass a pre-materialized
+    * [[lshBucketIndex]] to amortize index construction across queries. */
+  def lshTopKForVector(spark: SparkSession, sfDir: String,
+      qv: Array[Float], k: Int,
+      index: Option[DataFrame] = None): DataFrame = {
+    val keys = HyperplaneLSH.tableKeys(qv).toSeq
+    index.getOrElse(lshBucketIndex(spark, sfDir))
+      .filter(col("bucket").isin(keys: _*))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id").as("doc_id"),
+        round(CosineSimilarity(col("embedding"), typedLit(qv.toSeq)), 6)
+          .as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine >= threshold — EXACT, via a pivot-pruned block join.
     *
@@ -195,24 +227,34 @@ object VectorOps {
   def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // persisted: consumed twice (count + hit join) — without it the
-    // O(N x queries) exact scan executes twice per call
+    // O(N x queries) exact scan executes twice per call; released in
+    // the finally so a long-lived session doesn't leak a cached RDD
+    // per invocation
     val exact = annTopK(spark, sfDir).select("query_id", "neighbor_id")
       .persist()
-    val nExact = exact.count()
-    val approx =
-      annTopKLsh(spark, sfDir).select("query_id", "neighbor_id")
-        .withColumn("family", lit("lsh"))
-      .unionByName(IvfIndex.ivfTopK(spark, sfDir)
-        .select("query_id", "neighbor_id").withColumn("family", lit("ivf")))
-    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
-      .groupBy("family").agg(count(lit(1)).as("n_hits"))
-    Seq("ivf", "lsh").toDF("family")
-      .join(hits, Seq("family"), "left")
-      .select(col("family"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        lit(nExact).as("n_exact"),
-        round(coalesce(col("n_hits"), lit(0L)) / lit(nExact.toDouble), 6)
-          .as("recall"))
+    try {
+      val nExact = exact.count()
+      val approx =
+        annTopKLsh(spark, sfDir).select("query_id", "neighbor_id")
+          .withColumn("family", lit("lsh"))
+        .unionByName(IvfIndex.ivfTopK(spark, sfDir)
+          .select("query_id", "neighbor_id").withColumn("family", lit("ivf")))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy("family").agg(count(lit(1)).as("n_hits"))
+      // materialize BEFORE unpersist (2 rows — driver-sized by
+      // construction): a lazy plan returned to the caller would
+      // recompute the exact side uncached after the release
+      val byFamily = hits.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Seq("ivf", "lsh").map { fam =>
+        val h = byFamily.getOrElse(fam, 0L)
+        (fam, h, nExact,
+          // same HALF_UP-at-6dp as Spark's round(), kept bit-identical
+          // to the pre-refactor dump
+          BigDecimal(h / nExact.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("family", "n_hits", "n_exact", "recall")
+    } finally exact.unpersist()
   }
 
   /** MMR re-selection (reference VectorStore_Faiss.py:16-62): fetch the

@@ -29,21 +29,41 @@ final class Bm25Retriever extends Retriever {
       .select(col("doc_id"), col("score").cast("double").as("score"))
 }
 
-/** Dense retrieval over the hashing embedder — the FAISS search path
-  * (reference VectorStore_Faiss.py:225-274) with the index replaced by
-  * a scan + codegen'd cosine; LSH pre-filter is the scale path
-  * (graft.ops.VectorOps.annTopKLsh machinery). */
+/** Dense retrieval over the PRECOMPUTED embeddings table — the FAISS
+  * search path (reference VectorStore_Faiss.py:225-274): the reference
+  * embeds the corpus once at index-build time and amortizes it across
+  * queries, so the per-query work is query-vector construction + scan.
+  * Here the docstore is `Tables.embeddings` (vec_id ≡ doc_id in the
+  * driver testdata), scored with the codegen'd cosine — the embedder
+  * runs ONLY on the query string, never per-row over the corpus.
+  * Scores are rounded to 6dp so every downstream consumer (multipath
+  * ranks, RRF, the DuckDB oracle) orders the same values. */
 final class DenseRetriever extends Retriever {
   val name = "dense"
   def retrieve(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
-    val qv = HashingEmbedder.embed(query.toLowerCase).toSeq
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        CosineSimilarity(
-          udf((s: String) => HashingEmbedder.embed(s.toLowerCase)).apply(col("text")),
-          typedLit(qv)).as("score"))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("doc_id"),
+        round(CosineSimilarity(col("embedding"),
+          typedLit(DenseRetriever.queryVec(query))), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
+  }
+}
+
+object DenseRetriever {
+  /** The query-vector constructor — the only place the embedder runs
+    * on the read path. */
+  def queryVec(query: String): Seq[Float] =
+    HashingEmbedder.embed(query.toLowerCase).toSeq
+
+  /** Scale path: the same scoring served by the LSH bucket index
+    * instead of a full scan (drop-in for ANN workloads where exact
+    * top-k is not required; see graft.ops.VectorOps.annTopKLsh). */
+  def lshRetriever(): Retriever = new Retriever {
+    val name = "dense_lsh"
+    def retrieve(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame =
+      graft.ops.VectorOps.lshTopKForVector(spark, sfDir,
+        queryVec(query).toArray, k)
   }
 }
 

@@ -135,9 +135,11 @@ object GraphSink {
   /** G15 delete-by-class (reference event_graphrag_neo4j.py:578-598):
     * with label-partitioned tables this is a partition drop. */
   def deleteClass(spark: SparkSession, outDir: String, label: String): Unit = {
-    val path = s"$outDir/nodes/label=$label"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/nodes/label=$label")
+    // resolve the PATH's filesystem, not the default one — outDir may
+    // live on a non-default scheme (s3a:// with an HDFS default FS);
+    // same rule as Lineage.committed
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
   }
 }

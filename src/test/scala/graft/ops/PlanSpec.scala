@@ -55,4 +55,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("BM25 broadcasts query-term-restricted idf, not the full vocabulary") {
+    // every broadcast exchange whose output carries the idf column must
+    // have the query-term LocalTableScan in its subtree: the broadcast
+    // side is then <= |query| rows, never the corpus-vocabulary aggregate
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = BM25Ops.topK(spark, sf0001)
+    val builds = df.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec =>
+        j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
+    }
+    val idfSides = builds.filter(_.output.exists(_.name == "idf"))
+    assert(idfSides.nonEmpty, df.queryExecution.sparkPlan.toString)
+    idfSides.foreach { b =>
+      assert(b.collectLeaves().exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec]),
+        s"idf broadcast side is not query-term-restricted:\n$b")
+    }
+  }
+
+  test("dense retrieval scans the precomputed embeddings table with no corpus UDF") {
+    val df = new graft.retrieval.DenseRetriever()
+      .retrieve(spark, sf0001, "spark join vector", 50)
+    val p = plan(df)
+    assert(p.contains("embeddings.parquet"), p)
+    assert(!p.contains("UDF"), p) // embedder runs only on the query string
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
