@@ -113,6 +113,33 @@ object KnowledgeBase {
     sb.toString
   }
 
+  /** [[normalize]] plus, for each output char, its index in the input —
+    * so structural regex passes can evaluate word-boundary conditions
+    * against the ORIGINAL text. Whitespace stripping concatenates
+    * "model KJ-12345" into "modelKJ-12345", where a lookbehind on the
+    * normalized string wrongly sees 'l' adjacent to 'K'; the offset map
+    * lets the caller see the stripped space and treat it as a boundary. */
+  def normalizeWithOffsets(s: String): (String, Array[Int]) = {
+    val sb = new StringBuilder(s.length)
+    val offs = new Array[Int](s.length)
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!graft.text.Chars.isWs(c)) {
+        sb += (c match {
+          case '（' => '('
+          case '）' => ')'
+          case other => other
+        })
+        offs(n) = i
+        n += 1
+      }
+      i += 1
+    }
+    (sb.toString, java.util.Arrays.copyOf(offs, n))
+  }
+
   /** Load the committed KB resource. */
   def load(): KnowledgeBase = loadFrom("/graft/kb.json")
 

@@ -106,9 +106,13 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
   // triples — the open-vocabulary relation stream that scales the edge
   // table with the corpus instead of the KB.
   // Patterns are compiled once per extractor (broadcast with it).
+  // No regex lookarounds here: word boundaries are checked against the
+  // ORIGINAL text via the normalization offset map (a lookbehind on the
+  // whitespace-stripped string would wrongly reject "model KJ-12345",
+  // whose space vanishes in normalization) — see origBoundaryOk.
   @transient private lazy val codeMentionRe =
     java.util.regex.Pattern.compile(
-      "(?<![0-9A-Za-z])(?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5}(?![0-9A-Za-z])")
+      "(?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5}")
   @transient private lazy val codeRelRe =
     java.util.regex.Pattern.compile(
       "部件型号[:：]((?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5})，属于([^，。]{2,24}组件)。")
@@ -122,9 +126,24 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
 
   /** Extract mentions + triples + events + event relations from one
     * chunk. */
+  /** Word-boundary check for a [start, endExcl) match in the normalized
+    * string, evaluated against the ORIGINAL content through the offset
+    * map: the physically-adjacent original chars decide, so a stripped
+    * space still separates ("model KJ-12345" detects; "modelKJ-12345"
+    * does not). */
+  private def origBoundaryOk(content: String, offs: Array[Int],
+      start: Int, endExcl: Int): Boolean = {
+    def alnum(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    val before = offs(start) - 1
+    val after = offs(endExcl - 1) + 1
+    (before < 0 || !alnum(content.charAt(before))) &&
+      (after >= content.length || !alnum(content.charAt(after)))
+  }
+
   def extractAll(chunkId: String, url: String, content: String)
       : (Vector[Mention], Vector[Triple], Vector[EventRow], Vector[EventRelRow]) = {
-    val normalized = KnowledgeBase.normalize(content)
+    val (normalized, offs) = KnowledgeBase.normalizeWithOffsets(content)
     val hits = automaton.matchedIds(normalized)
 
     // E3 gazetteer pass + E5 kill-list + E2 name-keyed dedup
@@ -142,9 +161,11 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     // resolve in the canonical name map)
     val cm = codeMentionRe.matcher(normalized)
     while (cm.find()) {
-      val s = cm.group()
-      if (seen.add(s)) {
-        mentions += Mention(chunkId, url, s, s, "部件型号", "")
+      if (origBoundaryOk(content, offs, cm.start, cm.end)) {
+        val s = cm.group()
+        if (seen.add(s)) {
+          mentions += Mention(chunkId, url, s, s, "部件型号", "")
+        }
       }
     }
     val crm = codeRelRe.matcher(normalized)

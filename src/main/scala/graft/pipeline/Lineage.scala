@@ -33,6 +33,41 @@ final class Lineage(
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  // Semantic-format stamp: schema guards (`requires`) can't see a
+  // change that keeps columns identical but alters their MEANING (e.g.
+  // the event-ordinal recipe feeding event_id) — resuming across such
+  // a change would join new-recipe ids against old-recipe rows and
+  // silently produce empty/missing edges. A stage is only reusable if
+  // its stamp matches Lineage.FormatVersion; the stamp is written AFTER
+  // the parquet commit, so a crash between the two recomputes (safe
+  // direction).
+  private def stampPath(path: String) = new Path(path, "_graft_format")
+
+  private def stampMatches(path: String): Boolean = {
+    val p = stampPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else
+      try {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+          out.toString("UTF-8").trim == Lineage.FormatVersion
+        } finally in.close()
+      } catch {
+        // an unreadable/corrupt stamp means "unknown version": recompute
+        case _: java.io.IOException => false
+      }
+  }
+
+  private def writeStamp(path: String): Unit = {
+    val p = stampPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(Lineage.FormatVersion.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Run (or resume) one stage. The returned frame always reads from
     * the committed parquet, so downstream stages see identical data
     * whether the stage ran or was skipped.
@@ -44,15 +79,17 @@ final class Lineage(
   def stage(name: String, requires: Seq[String] = Nil)
       (compute: => DataFrame): DataFrame = {
     val path = s"$outDir/$name"
-    val reusable = resume && committed(path) && (requires.isEmpty || {
-      try {
-        val cols = spark.read.parquet(path).columns.toSet
-        requires.forall(cols)
-      } catch { case _: Exception => false }
-    })
+    val reusable = resume && committed(path) && stampMatches(path) &&
+      (requires.isEmpty || {
+        try {
+          val cols = spark.read.parquet(path).columns.toSet
+          requires.forall(cols)
+        } catch { case _: Exception => false }
+      })
     if (!reusable) {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(path)
+      writeStamp(path)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val written = spark.read.parquet(path)
       // one lineage row per committed file: these files ARE the next
@@ -78,6 +115,17 @@ final class Lineage(
   // written by different library versions may mix schemas
   def metrics(): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(s"$outDir/_metrics")
+}
+
+object Lineage {
+  /** Bump whenever any stage's output SEMANTICS change in a way the
+    * column guards can't detect (columns unchanged, meaning changed) —
+    * e.g. the round-2 switch of event ordinals from KB-spec ord to
+    * dense within-chunk position, which changed event_id values under
+    * an identical schema. Version "3": the current (dense-ordinal)
+    * recipe; pre-stamp outDirs (round <= 2) have no marker and always
+    * recompute. */
+  val FormatVersion = "3"
 }
 
 /** spark-submit entry for the full KG job:

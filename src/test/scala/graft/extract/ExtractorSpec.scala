@@ -66,6 +66,25 @@ class ExtractorSpec extends AnyFunSuite {
     assert(mentions.map(_.entityName).contains("室内机电控板"))
   }
 
+  test("code mentions honor word boundaries of the ORIGINAL text") {
+    // whitespace is stripped before matching, so the boundary must be
+    // judged pre-normalization: a space-delimited code after a Latin
+    // word is a real mention; a directly-concatenated one is not
+    val (spaced, _) = extractor.extract("c", "u", "spec model KJ-12345 已记录。")
+    assert(spaced.map(_.entityName).contains("KJ-12345"),
+      "space-delimited code after a Latin word was not detected")
+    val (glued, _) = extractor.extract("c", "u", "specmodelKJ-12345 已记录。")
+    assert(!glued.map(_.entityName).contains("KJ-12345"),
+      "code glued to a Latin word must not detect")
+    // trailing boundary: an alnum tail glued to the 5-char body rejects
+    val (tail, _) = extractor.extract("c", "u", "编号KJ-123456 在列。")
+    assert(!tail.map(_.entityName).exists(_.startsWith("KJ-")),
+      "code with a 6th alnum char must not detect")
+    // CJK delimiters still work as before
+    val (cjk, _) = extractor.extract("c", "u", "部件KJ-12345，已记录。")
+    assert(cjk.map(_.entityName).contains("KJ-12345"))
+  }
+
   test("kill-list port drops the reference's filtered classes") {
     val dropped = Seq("123", "3.14", "2024年", "昨天", "这个", "我们", "很多",
       "非常", "但是", "，。", "x", " ", "12, 34")

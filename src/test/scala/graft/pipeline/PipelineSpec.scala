@@ -171,10 +171,38 @@ class PipelineSpec extends SparkSpec {
     val oldDf = spark.read.parquet(s"$dir/chunks")
       .drop("content_hash").localCheckpoint(true)
     oldDf.write.mode("overwrite").parquet(s"$dir/chunks")
+    // restore the (overwrite-wiped) format stamp so THIS test exercises
+    // the requires guard, not the version guard
+    val stampP = new org.apache.hadoop.fs.Path(s"$dir/chunks/_graft_format")
+    val stampFs = stampP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stampOut = stampFs.create(stampP, true)
+    try stampOut.write(Lineage.FormatVersion.getBytes("UTF-8"))
+    finally stampOut.close()
     // a naive resume would reuse the stale schema and crash downstream;
     // the requires guard recomputes it instead
     KGJob.run(spark, 40, dir, resume = true, partitions = 2)
     assert(spark.read.parquet(s"$dir/chunks").columns.contains("content_hash"))
+  }
+
+  test("resume recomputes stages stamped with a different semantic format version") {
+    val dir = Files.createTempDirectory("kg_fmt").toString
+    KGJob.run(spark, 40, dir, resume = false, partitions = 2)
+    // simulate an outDir written by an older library version: identical
+    // columns, different output semantics (e.g. the event-ordinal
+    // recipe behind event_id) — only the stamp can tell them apart.
+    // Written through the Hadoop FS API (raw java.nio would leave the
+    // LocalFileSystem's .crc sidecar stale)
+    val stale = new org.apache.hadoop.fs.Path(s"$dir/events/_graft_format")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(stale, true)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    def metricRows(stage: String): Long = spark.read
+      .parquet(s"$dir/_metrics").filter(col("stage") === stage).count()
+    val (evBefore, pgBefore) = (metricRows("events"), metricRows("pages"))
+    KGJob.run(spark, 40, dir, resume = true, partitions = 2)
+    assert(metricRows("events") > evBefore,
+      "stale-format events stage was reused on resume")
+    assert(metricRows("pages") == pgBefore, "unaffected stage was recomputed")
   }
 
   test("canonicalization is a fixpoint: re-canonicalizing representatives is a no-op") {
