@@ -67,6 +67,27 @@ object SparkEntry {
     "kg_events" -> ((s, d) => kg(s, d).events
       .select("event_id", "chunk_id", "content", "event_type")),
     "kg_stats" -> ((s, d) => graft.sink.GraphSink.stats(kg(s, d))),
+    // raw surface -> (normalized key, canonical id): the intermediate
+    // the canonicalization oracles recompute through (same dump-as-
+    // input pattern as simhash_values / zh_corpus)
+    "kg_name_map" -> ((s, d) => kg(s, d).nameMap
+      .select("entity_name", "name_key", "canonical_id")),
+    // per-entity counts + winner key, DuckDB-recomputed from the dumped
+    // mentions x name map: checks the salted two-phase mention
+    // aggregate, the CC component sums, the merged-name count, and the
+    // max_by(n_mentions, name_key) representative choice
+    // (lower(display_name) == the winning name_key by construction)
+    "kg_entity_counts" -> ((s, d) => kg(s, d).entities
+      .select(col("canonical_id"), lower(col("entity_name")).as("winner_key"),
+        col("n_mentions"), col("n_merged_names"))),
+    // alias-closure invariants (oracle-recomputed; see GraphSink)
+    "kg_alias_closure" -> ((s, d) => graft.sink.GraphSink.aliasClosure(kg(s, d))),
+    // partitioned write path: write nodes/edges via GraphSink.write and
+    // count back from the WRITTEN tables; oracle rebuilds each class
+    // count from the dumps
+    "kg_stats_written" -> ((s, d) => graft.sink.GraphSink.writtenStats(
+      s, kg(s, d),
+      s"${System.getProperty("java.io.tmpdir")}/graft_graph_sf${Tables.scaleOf(d)}")),
     "kg_participates" -> ((s, d) => kg(s, d).participates),
     "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
     "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
@@ -482,6 +503,91 @@ object SparkEntry {
           |  FROM evsrc WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)
           |UNION ALL SELECT 'triples_dangling_chunk', count(*)
           |  FROM tr WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)""".stripMargin,
+      // G5 endpoint rewrite + provenance counts recomputed from the
+      // dumped triples joined through the dumped name map: inner joins,
+      // self-loop filter, and the salted two-phase n_sources sum must
+      // all reproduce in one flat SQL aggregate
+      "kg_edges" ->
+        """WITH nm AS (SELECT entity_name, canonical_id
+          |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
+          |t AS (SELECT chunk_id, subj, pred, obj
+          |      FROM read_parquet('__OUT__/kg_triples/*.parquet'))
+          |SELECT s.canonical_id AS subj_id, t.pred, o.canonical_id AS obj_id,
+          |       CAST(count(*) AS BIGINT) AS n_sources
+          |FROM t JOIN nm s ON t.subj = s.entity_name
+          |       JOIN nm o ON t.obj = o.entity_name
+          |WHERE s.canonical_id <> o.canonical_id
+          |GROUP BY 1, 2, 3""".stripMargin,
+      // G12+G10+G11 arithmetic recomputed from dumps: per-name_key
+      // mention counts -> component sums, merged-name counts, and the
+      // (n_mentions, name_key)-max representative whose lowercased
+      // display name must equal the winning key
+      "kg_entity_counts" ->
+        """WITH nm AS (SELECT entity_name, name_key, canonical_id
+          |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
+          |m AS (SELECT entityName FROM read_parquet('__OUT__/kg_mentions/*.parquet')),
+          |mk AS (SELECT nm.name_key, nm.canonical_id, count(*) AS n
+          |       FROM m JOIN nm ON m.entityName = nm.entity_name
+          |       GROUP BY 1, 2),
+          |win AS (SELECT canonical_id, name_key,
+          |          ROW_NUMBER() OVER (PARTITION BY canonical_id
+          |            ORDER BY n DESC, name_key DESC) AS rn
+          |        FROM mk),
+          |merged AS (SELECT canonical_id, count(DISTINCT name_key) AS n_merged
+          |           FROM nm GROUP BY 1)
+          |SELECT mk.canonical_id, w.name_key AS winner_key,
+          |       CAST(sum(mk.n) AS BIGINT) AS n_mentions,
+          |       CAST(any_value(merged.n_merged) AS BIGINT) AS n_merged_names
+          |FROM mk JOIN (SELECT canonical_id, name_key FROM win WHERE rn = 1) w
+          |          USING (canonical_id)
+          |        JOIN merged USING (canonical_id)
+          |GROUP BY 1, 2""".stripMargin,
+      // alias-closure invariants recomputed from the dumped map /
+      // entities / mentions (counts must agree with Spark AND be zero)
+      "kg_alias_closure" ->
+        """WITH nm AS (SELECT entity_name, name_key, canonical_id
+          |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
+          |ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
+          |m AS (SELECT DISTINCT entityName AS entity_name
+          |      FROM read_parquet('__OUT__/kg_mentions/*.parquet'))
+          |SELECT 'aliases_multi_mapped' AS check_name, count(*) AS violations FROM (
+          |  SELECT entity_name FROM nm GROUP BY 1 HAVING count(DISTINCT canonical_id) > 1)
+          |UNION ALL SELECT 'canonical_not_min_member', count(*) FROM (
+          |  SELECT canonical_id FROM nm GROUP BY 1 HAVING min(name_key) <> canonical_id)
+          |UNION ALL SELECT 'namemap_dangling_canonical', count(*) FROM (
+          |  SELECT DISTINCT canonical_id FROM nm
+          |  WHERE canonical_id NOT IN (SELECT canonical_id FROM ents))
+          |UNION ALL SELECT 'entities_without_alias', count(*) FROM (
+          |  SELECT canonical_id FROM ents
+          |  WHERE canonical_id NOT IN (SELECT canonical_id FROM nm))
+          |UNION ALL SELECT 'mention_surface_unmapped', count(*) FROM (
+          |  SELECT entity_name FROM m
+          |  WHERE entity_name NOT IN (SELECT entity_name FROM nm))""".stripMargin,
+      // per-class counts of the WRITTEN graph tables, each rebuilt from
+      // the corresponding dump (Chunk = distinct chunk ids, MENTIONS =
+      // distinct (chunk, canonical) through the name map, ...)
+      "kg_stats_written" ->
+        """WITH nm AS (SELECT entity_name, canonical_id
+          |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
+          |chs AS (SELECT DISTINCT chunk_id FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
+          |evs AS (SELECT event_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
+          |edges AS (SELECT subj_id FROM read_parquet('__OUT__/kg_edges/*.parquet')),
+          |parts AS (SELECT event_id FROM read_parquet('__OUT__/kg_participates/*.parquet')),
+          |sim AS (SELECT rank FROM read_parquet('__OUT__/kg_event_similar/*.parquet')),
+          |ee AS (SELECT head_id FROM read_parquet('__OUT__/kg_event_edges/*.parquet')),
+          |men AS (SELECT DISTINCT m.chunk_id, nm.canonical_id
+          |        FROM read_parquet('__OUT__/kg_mentions/*.parquet') m
+          |        JOIN nm ON m.entityName = nm.entity_name)
+          |SELECT 'node' AS kind, 'Chunk' AS class, count(*) AS count FROM chs
+          |UNION ALL SELECT 'node', 'Event', count(*) FROM evs
+          |UNION ALL SELECT 'node', 'Entity', count(*) FROM ents
+          |UNION ALL SELECT 'edge', 'ENTITY_RELATION', count(*) FROM edges
+          |UNION ALL SELECT 'edge', 'CONTAINS', count(*) FROM evs
+          |UNION ALL SELECT 'edge', 'MENTIONS', count(*) FROM men
+          |UNION ALL SELECT 'edge', 'PARTICIPATES_IN', count(*) FROM parts
+          |UNION ALL SELECT 'edge', 'SIMILAR_TO', count(*) FROM sim
+          |UNION ALL SELECT 'edge', 'EVENT_RELATION', count(*) FROM ee""".stripMargin,
       // multipath+RRF over (bm25 recomputed in SQL, k=50) and (dense
       // ranks re-derived from the dumped scores): the fusion arithmetic,
       // list ranks, and BM25 list are all independently recomputed

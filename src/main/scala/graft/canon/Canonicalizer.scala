@@ -86,7 +86,7 @@ object Canonicalizer {
     * Returns (canonicalEntities, nameMap):
     *  - canonicalEntities: canonical_id, entity_name, entity_type,
     *    n_mentions, aliases, descriptions, source_chunks, component_id
-    *  - nameMap: entity_name (raw) -> canonical_id
+    *  - nameMap: entity_name (raw) -> (name_key, canonical_id)
     */
   private def timed[A](n: String)(f: => A): A = {
     if (sys.env.contains("GRAFT_KG_STAGE_TIMES")) {
@@ -264,10 +264,13 @@ object Canonicalizer {
         BoundedAgg.distinctMinFlat(col("descriptions"), ListCap).as("descriptions"),
         BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap).as("source_chunks"))
 
-    // raw name -> canonical id (for triple endpoint rewrite)
+    // raw name -> canonical id (for triple endpoint rewrite); name_key
+    // rides along so the driver oracle can recompute the G12 merge and
+    // the CC min-representative invariant from the dumped map
     val nameMap = rawKeys
       .join(comps.withColumnRenamed("id", "name_key"), "name_key")
-      .select(col("entityName").as("entity_name"), col("component").as("canonical_id"))
+      .select(col("entityName").as("entity_name"), col("name_key"),
+        col("component").as("canonical_id"))
 
     (canonical, nameMap)
   }
@@ -356,11 +359,9 @@ object Canonicalizer {
     val small = nameMap.count() <= BroadcastNameMapMax
     def side(m: DataFrame): DataFrame = if (small) broadcast(m) else m
     val subjMap = side(nameMap
-      .withColumnRenamed("entity_name", "subj")
-      .withColumnRenamed("canonical_id", "subj_id"))
+      .select(col("entity_name").as("subj"), col("canonical_id").as("subj_id")))
     val objMap = side(nameMap
-      .withColumnRenamed("entity_name", "obj")
-      .withColumnRenamed("canonical_id", "obj_id"))
+      .select(col("entity_name").as("obj"), col("canonical_id").as("obj_id")))
     triples
       .join(subjMap, "subj")
       .join(objMap, "obj")

@@ -132,6 +132,56 @@ object GraphSink {
     ).reduce(_.unionByName(_))
   }
 
+  /** Canonicalization-closure gate (companion to [[integrity]]): the
+    * invariants the G12 merge + G9/G10 canonicalization must establish,
+    * emitted as data rows so the DuckDB oracle can recompute each count
+    * independently from the dumped name map / entities / mentions:
+    *  - every raw surface maps to exactly one canonical id (the alias
+    *    closure is a function);
+    *  - each canonical id is the MIN member name_key of its component
+    *    (the CC representative invariant);
+    *  - name map and entity table reference each other with no dangling
+    *    ids in either direction;
+    *  - every mention surface is in the map (nothing fell off an
+    *    accumulator cap — a dropped surface would silently lose triples
+    *    at the endpoint rewrite). */
+  def aliasClosure(r: KGPipeline.Result): DataFrame = {
+    val nm = r.nameMap
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    Seq(
+      cnt("aliases_multi_mapped", nm.groupBy("entity_name")
+        .agg(countDistinct("canonical_id").as("n")).filter(col("n") > 1)),
+      cnt("canonical_not_min_member", nm.groupBy("canonical_id")
+        .agg(min("name_key").as("mn")).filter(col("mn") =!= col("canonical_id"))),
+      cnt("namemap_dangling_canonical", nm.select("canonical_id").distinct()
+        .join(r.entities.select("canonical_id"), Seq("canonical_id"), "left_anti")),
+      cnt("entities_without_alias", r.entities.select("canonical_id")
+        .join(nm.select("canonical_id").distinct(), Seq("canonical_id"), "left_anti")),
+      cnt("mention_surface_unmapped",
+        r.mentions.select(col("entityName").as("entity_name")).distinct()
+          .join(nm.select("entity_name"), Seq("entity_name"), "left_anti"))
+    ).reduce(_.unionByName(_))
+  }
+
+  /** Write the graph through [[write]] (the partitioned production
+    * layout, G15's delete target) and read the WRITTEN tables back as
+    * per-class counts — so Verify exercises the partitionBy write path,
+    * not just the in-memory frames, and the oracle recomputes every
+    * count from the dumped tables. */
+  def writtenStats(spark: SparkSession, r: KGPipeline.Result,
+      outDir: String): DataFrame = {
+    write(r, outDir)
+    val n = spark.read.parquet(s"$outDir/nodes")
+      .groupBy(col("label").as("class")).count()
+      .withColumn("kind", lit("node"))
+    val e = spark.read.parquet(s"$outDir/edges")
+      .groupBy(col("edge_type").as("class")).count()
+      .withColumn("kind", lit("edge"))
+    n.unionByName(e).select("kind", "class", "count")
+  }
+
   /** G15 delete-by-class (reference event_graphrag_neo4j.py:578-598):
     * with label-partitioned tables this is a partition drop. */
   def deleteClass(spark: SparkSession, outDir: String, label: String): Unit = {
