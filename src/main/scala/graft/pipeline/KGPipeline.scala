@@ -119,6 +119,18 @@ object KGPipeline {
         } else Iterator.empty
       }
     }.toDF("chunk_id", "content_hash", "mentions", "triples", "events", "event_rels")
+    consolidate(raw0, stageDir)
+  }
+
+  /** Consolidation: deterministic survivor per 8-hex chunk id, then
+    * explode into the four result tables. Shared by the batch path and
+    * the streaming staging table (StreamOps.streamingExtract emits
+    * exactly this input schema), so stream-append-then-consolidate
+    * equals the pure-batch pipeline — asserted end-to-end in
+    * StreamOpsSpec, not just argued. */
+  def consolidate(raw0: DataFrame,
+      stageDir: Option[String] = None): Extraction = {
+    val spark = raw0.sparkSession
     // chunk_id is the reference's 8-hex md5 prefix (G1): at web scale
     // DIFFERENT contents collide in the 32-bit id space (~1k collisions
     // per 3M distinct chunks), and a dropDuplicates survivor would

@@ -131,26 +131,46 @@ object Retrieval {
 
   /** R8 rerank: the reference scores (query, doc) pairs with a
     * yes/no-token LLM probability in batches of 8
-    * (Reranker_Qwen3.py:41-75). The model is STUBBED deterministically
-    * (hashing-embedder cosine stands in for the LLM score); the
-    * Spark-side shape is real: mapPartitions with fixed-size batches,
-    * then a global top-k sort. Swap `stubScore` for a model call. */
+    * (Reranker_Qwen3.py:41-75). The scorer is a [[RerankScorer]]
+    * plug-point — the Spark-side shape (mapPartitions with fixed-size
+    * batches, then a global top-k sort) is model-independent; the
+    * sandbox implementation is [[HashingCosineScorer]]. */
   def rerank(spark: SparkSession, sfDir: String, query: String,
-      candidates: DataFrame, k: Int = 10, batchSize: Int = 8): DataFrame = {
+      candidates: DataFrame, k: Int = 10, batchSize: Int = 8,
+      scorer: RerankScorer = HashingCosineScorer): DataFrame = {
     import spark.implicits._
-    val qv = HashingEmbedder.embed(query.toLowerCase)
-    def stubScore(text: String): Double =
-      HashingEmbedder.cosine(qv, HashingEmbedder.embed(text.toLowerCase))
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     candidates.select("doc_id").join(docs, "doc_id")
       .as[(Long, String)]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch => // model-call batch shape
-          batch.map { case (id, text) => (id, stubScore(text)) }
-        }
+        it.grouped(batchSize).flatMap(scorer.scoreBatch(query, _))
       }
       .toDF("doc_id", "rerank_score")
       .orderBy(desc("rerank_score"), asc("doc_id"))
       .limit(k)
+  }
+}
+
+/** Pluggable (query, doc)-pair scorer for [[Retrieval.rerank]]: a
+  * model-equipped deployment implements ONE method — score a fixed-size
+  * batch of candidates against the query (the reference forwards 8
+  * pairs per model call, Reranker_Qwen3.py:57,63) — without touching
+  * the query code. Must be Serializable (ships in the mapPartitions
+  * closure). */
+trait RerankScorer extends Serializable {
+  /** One model forward pass: a batch of (doc_id, text) in, one
+    * (doc_id, score) per input out. */
+  def scoreBatch(query: String, batch: Seq[(Long, String)]): Seq[(Long, Double)]
+}
+
+/** Sandbox [[RerankScorer]]: the LLM is outside the zero-egress
+  * sandbox, so the hashing-embedder cosine stands in for the yes-token
+  * probability — DETERMINISTIC STUB, clearly marked. */
+object HashingCosineScorer extends RerankScorer {
+  def scoreBatch(query: String, batch: Seq[(Long, String)]): Seq[(Long, Double)] = {
+    val qv = HashingEmbedder.embed(query.toLowerCase)
+    batch.map { case (id, text) =>
+      (id, HashingEmbedder.cosine(qv, HashingEmbedder.embed(text.toLowerCase)))
+    }
   }
 }

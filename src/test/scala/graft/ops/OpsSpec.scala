@@ -230,6 +230,21 @@ class OpsSpec extends SparkSpec {
     assert(row.getString(4).split(",")(0) == first)
   }
 
+  test("mm decode accepts a custom FrameDecoder without touching query code") {
+    // a deployment-style decoder: constant dimensions, one marker frame
+    object FixedDecoder extends graft.mm.FrameDecoder {
+      def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[graft.mm.MediaMeta] =
+        batch.map { case (id, p) =>
+          graft.mm.MediaMeta(id, p.length.toLong, 640, 480, Seq("frame0"))
+        }
+    }
+    val rows = MultimodalOps.decodeMeta(spark, sf0001, FixedDecoder)
+      .filter(col("doc_id") < 3).orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getInt(2) == 640 && r.getInt(3) == 480 &&
+      r.getString(4) == "frame0"))
+  }
+
   test("time window agg matches a filtered recount") {
     val all = graft.SparkEntry.timeWindowAgg(spark, sf0001)
     val one = all.orderBy("window_start", "event_type").head()

@@ -95,4 +95,18 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
     assert(again == out.toSeq.map(r => (r.getLong(0), r.getDouble(1))))
   }
+
+  test("rerank accepts a custom RerankScorer without touching query code") {
+    import spark.implicits._
+    // a deployment-style scorer: rank = doc_id descending
+    object ByIdScorer extends RerankScorer {
+      def scoreBatch(query: String, batch: Seq[(Long, String)]): Seq[(Long, Double)] =
+        batch.map { case (id, _) => (id, id.toDouble) }
+    }
+    val cands = spark.range(0, 30).toDF("doc_id")
+    val out = Retrieval.rerank(spark, sf0001, "q", cands, k = 5,
+        scorer = ByIdScorer)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(29L, 28L, 27L, 26L, 25L))
+  }
 }

@@ -58,6 +58,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-append + batch consolidation equals the pure-batch pipeline") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // stream pages (with a re-crawled overlap) into a parquet staging
+    // table, run the SHARED batch consolidation over the staged rows,
+    // and require the result — through canonicalization and the edge
+    // rewrite — to equal the pure-batch pipeline over the same pages
+    val input = MemoryStream[graft.pages.Page]
+    val staging = java.nio.file.Files.createTempDirectory("sx_staging").toString
+    val q = StreamOps.streamingExtract(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$staging/tbl")
+      .option("checkpointLocation", s"$staging/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0L until 40L).map(graft.pages.PagesGenerator.page): _*)
+      q.processAllAvailable()
+      input.addData((20L until 60L).map(graft.pages.PagesGenerator.page): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val cons = graft.pipeline.KGPipeline.consolidate(
+      spark.read.parquet(s"$staging/tbl"))
+    val batch = graft.pipeline.KGPipeline.runOnPages(spark,
+      graft.pages.PagesGenerator.pages(spark, 60L, 4))
+
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(setOf(cons.mentions) == setOf(batch.mentions), "mentions diverge")
+    assert(setOf(cons.triples) == setOf(batch.triples), "triples diverge")
+    assert(setOf(cons.events) == setOf(batch.events), "events diverge")
+    assert(setOf(graft.pipeline.KGPipeline.eventEdges(cons.events, cons.eventRels))
+      == setOf(batch.eventEdges), "event edges diverge")
+
+    // canonicalization + endpoint rewrite over the consolidated stream
+    val (ents, nm0) = graft.canon.Canonicalizer.canonicalize(
+      cons.mentions.withColumnRenamed("chunk_id", "chunkId"))
+    val cols = Seq("canonical_id", "entity_name", "entity_type",
+      "n_mentions", "n_merged_names")
+    assert(setOf(ents.select(cols.head, cols.tail: _*))
+      == setOf(batch.entities.select(cols.head, cols.tail: _*)),
+      "canonical entities diverge")
+    val nm = nm0.localCheckpoint(true)
+    val edges = graft.canon.Canonicalizer.rewriteTriples(
+      cons.triples.withColumnRenamed("chunk_id", "chunkId"), nm)
+    val eCols = Seq("subj_id", "pred", "obj_id", "n_sources")
+    assert(setOf(edges.select(eCols.head, eCols.tail: _*))
+      == setOf(batch.edges.select(eCols.head, eCols.tail: _*)),
+      "canonical edges diverge")
+  }
+
   test("windowed counts over a memory stream match the batch aggregate") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
