@@ -60,8 +60,13 @@ object ConnectedComponents {
       "cc: LSH-verify + size gate (single-job local path)") {
       deduped.limit(gateN + 1).collect()
     }
-    if (grabbed.length <= gateN) return localSolve(edgesIn, grabbed,
-      deduped.schema("src").dataType)
+    if (grabbed.length <= gateN) {
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] path=local edges=${grabbed.length} gate=$gateN")
+      return localSolve(edgesIn, grabbed, deduped.schema("src").dataType)
+    }
+    if (sys.env.contains("GRAFT_CC_VERBOSE"))
+      System.err.println(s"[cc] path=distributed edges>gate=$gateN")
 
     var edges = graft.pipeline.Jobs.named(spark, "cc: edge dedup checkpoint") {
       deduped.localCheckpoint(true)

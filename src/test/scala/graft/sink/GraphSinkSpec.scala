@@ -45,4 +45,19 @@ class GraphSinkSpec extends SparkSpec {
       .select("label").distinct().collect().map(_.getString(0)).toSet
     assert(after == Set("Chunk", "Entity"))
   }
+
+  test("deleteClass resolves the target PATH's filesystem (mockfs scheme)") {
+    // same registry trick as the Lineage resume test: a mockfs://
+    // scheme backed by RawLocalFileSystem — FileSystem.get(conf) (the
+    // default FS) would not resolve it, path.getFileSystem must
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mockfs.impl", classOf[graft.pipeline.MockFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_sink_mockfs")
+    java.nio.file.Files.createDirectories(local.resolve("nodes/label=Event"))
+    java.nio.file.Files.writeString(
+      local.resolve("nodes/label=Event/part-0"), "x")
+    GraphSink.deleteClass(spark, s"mockfs://$local", "Event")
+    assert(!java.nio.file.Files.exists(local.resolve("nodes/label=Event")),
+      "partition under the non-default scheme was not dropped")
+  }
 }
