@@ -85,9 +85,12 @@ object SparkEntry {
     // partitioned write path: write nodes/edges via GraphSink.write and
     // count back from the WRITTEN tables; oracle rebuilds each class
     // count from the dumps
+    // per-JVM path: two concurrent runs at the same scale must not
+    // overwrite each other's half-read tables
     "kg_stats_written" -> ((s, d) => graft.sink.GraphSink.writtenStats(
       s, kg(s, d),
-      s"${System.getProperty("java.io.tmpdir")}/graft_graph_sf${Tables.scaleOf(d)}")),
+      s"${System.getProperty("java.io.tmpdir")}/graft_graph_sf${Tables.scaleOf(d)}" +
+        s"_p${ProcessHandle.current().pid()}")),
     "kg_participates" -> ((s, d) => kg(s, d).participates),
     "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
     "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
@@ -231,7 +234,9 @@ object SparkEntry {
   private def denseScoresOracleSql: String = {
     val qv = graft.retrieval.DenseRetriever.queryVec("spark join vector")
     val values = qv.zipWithIndex.map { case (f, i) =>
-      s"(${i + 1}, CAST(${"%.17e".format(f.toDouble)} AS DOUBLE))"
+      // Locale.ROOT: a comma-decimal default locale would emit broken SQL
+      val lit = String.format(java.util.Locale.ROOT, "%.17e", f.toDouble)
+      s"(${i + 1}, CAST($lit AS DOUBLE))"
     }.mkString(", ")
     s"""WITH q(i, qv) AS (VALUES $values),
        |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

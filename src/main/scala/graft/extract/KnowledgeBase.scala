@@ -96,22 +96,7 @@ object KnowledgeBase {
   /** Text normalization applied before evidence matching (mirrors
     * tools/build_kb.py `norm`): strip all whitespace, map full-width
     * parens to ASCII. */
-  def normalize(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (!graft.text.Chars.isWs(c)) {
-        sb += (c match {
-          case '（' => '('
-          case '）' => ')'
-          case other => other
-        })
-      }
-      i += 1
-    }
-    sb.toString
-  }
+  def normalize(s: String): String = normalizeWithOffsets(s)._1
 
   /** [[normalize]] plus, for each output char, its index in the input —
     * so structural regex passes can evaluate word-boundary conditions

@@ -159,14 +159,20 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     // open-vocabulary pass: structural code mentions + 属于 template
     // triples (categories become mentions too, so both triple endpoints
     // resolve in the canonical name map)
+    // a boundary-REJECTED match must not consume its span (the old
+    // lookbehind retried at start+1; a plain find() would resume at
+    // cm.end and skip a valid code overlapping the rejected one, e.g.
+    // "XH.BJ12345" where XH.BJ123 rejects but BJ12345 is real)
     val cm = codeMentionRe.matcher(normalized)
-    while (cm.find()) {
+    var pos = 0
+    while (pos <= normalized.length && cm.find(pos)) {
       if (origBoundaryOk(content, offs, cm.start, cm.end)) {
         val s = cm.group()
         if (seen.add(s)) {
           mentions += Mention(chunkId, url, s, s, "部件型号", "")
         }
-      }
+        pos = cm.end
+      } else pos = cm.start + 1
     }
     val crm = codeRelRe.matcher(normalized)
     val codeTriples = Vector.newBuilder[(String, String)]

@@ -248,11 +248,14 @@ object VectorOps {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       Seq("ivf", "lsh").map { fam =>
         val h = byFamily.getOrElse(fam, 0L)
-        (fam, h, nExact,
-          // same HALF_UP-at-6dp as Spark's round(), kept bit-identical
-          // to the pre-refactor dump
-          BigDecimal(h / nExact.toDouble)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        // same HALF_UP-at-6dp as Spark's round(), kept bit-identical to
+        // the pre-refactor dump; empty exact side -> NaN like the old
+        // Spark division (BigDecimal(NaN) would throw)
+        val recall =
+          if (nExact == 0L) Double.NaN
+          else BigDecimal(h / nExact.toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (fam, h, nExact, recall)
       }.toDF("family", "n_hits", "n_exact", "recall")
     } finally exact.unpersist()
   }

@@ -193,7 +193,10 @@ object KGJob {
     lazy val cano = graft.canon.Canonicalizer.canonicalize(
       mentions.withColumnRenamed("chunk_id", "chunkId"))
     val entities = lin.stage("entities")(cano._1)
-    val nameMap = lin.stage("name_map")(cano._2)
+    // requires name_key: a resume over an outDir committed before the
+    // name map carried it would otherwise reuse the 2-column table and
+    // break the alias-closure/entity-counts consumers downstream
+    val nameMap = lin.stage("name_map", requires = Seq("name_key"))(cano._2)
     val edges = lin.stage("edges") {
       graft.canon.Canonicalizer.rewriteTriples(
         triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)

@@ -83,6 +83,11 @@ class ExtractorSpec extends AnyFunSuite {
     // CJK delimiters still work as before
     val (cjk, _) = extractor.extract("c", "u", "部件KJ-12345，已记录。")
     assert(cjk.map(_.entityName).contains("KJ-12345"))
+    // a boundary-rejected match must not consume the span of a valid
+    // code overlapping it: XH.BJ123 rejects (alnum tail), BJ12345 is real
+    val (overlap, _) = extractor.extract("c", "u", "编号XH.BJ12345，已记录。")
+    assert(overlap.map(_.entityName).contains("BJ12345"),
+      "overlapping code after a rejected match was skipped")
   }
 
   test("kill-list port drops the reference's filtered classes") {
