@@ -45,7 +45,8 @@ object SparkEntry {
         entities = r.entities.persist(),
         nameMap = r.nameMap.persist(),
         edges = r.edges.persist(),
-        eventEdges = r.eventEdges.persist())
+        eventEdges = r.eventEdges.persist(),
+        eventRels = r.eventRels.persist())
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -64,8 +65,15 @@ object SparkEntry {
       .select("canonical_id", "entity_name", "entity_type", "n_mentions", "n_merged_names")),
     "kg_edges" -> ((s, d) => kg(s, d).edges
       .select("subj_id", "pred", "obj_id", "n_sources")),
+    // participants ride along so the kg_participates oracle can
+    // recompute G7 from this dump x the name map
     "kg_events" -> ((s, d) => kg(s, d).events
-      .select("event_id", "chunk_id", "content", "event_type")),
+      .select("event_id", "chunk_id", "content", "event_type", "participants")),
+    // per-chunk event relations (pre-aggregation): the input the
+    // kg_event_edges oracle recomputes G6 from
+    "kg_event_rels" -> ((s, d) => kg(s, d).eventRels
+      .select("chunk_id", "head_event_id", "tail_event_id",
+        "relation_type", "description")),
     "kg_stats" -> ((s, d) => graft.sink.GraphSink.stats(kg(s, d))),
     // raw surface -> (normalized key, canonical id): the intermediate
     // the canonicalization oracles recompute through (same dump-as-
@@ -249,6 +257,34 @@ object SparkEntry {
        |SELECT doc_id, round(score, 6) AS score
        |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
+
+  /** Per-class graph counts rebuilt from the dumps (Chunk = distinct
+    * chunk ids, MENTIONS = distinct (chunk, canonical) through the name
+    * map, ...). Shared by kg_stats (in-memory frames) and
+    * kg_stats_written (read back from the partitioned write) — both
+    * must agree with the same recomputation. */
+  private def kgStatsOracleSql: String =
+    """WITH nm AS (SELECT entity_name, canonical_id
+      |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
+      |chs AS (SELECT DISTINCT chunk_id FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
+      |evs AS (SELECT event_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
+      |ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
+      |edges AS (SELECT subj_id FROM read_parquet('__OUT__/kg_edges/*.parquet')),
+      |parts AS (SELECT event_id FROM read_parquet('__OUT__/kg_participates/*.parquet')),
+      |sim AS (SELECT rank FROM read_parquet('__OUT__/kg_event_similar/*.parquet')),
+      |ee AS (SELECT head_id FROM read_parquet('__OUT__/kg_event_edges/*.parquet')),
+      |men AS (SELECT DISTINCT m.chunk_id, nm.canonical_id
+      |        FROM read_parquet('__OUT__/kg_mentions/*.parquet') m
+      |        JOIN nm ON m.entityName = nm.entity_name)
+      |SELECT 'node' AS kind, 'Chunk' AS class, count(*) AS count FROM chs
+      |UNION ALL SELECT 'node', 'Event', count(*) FROM evs
+      |UNION ALL SELECT 'node', 'Entity', count(*) FROM ents
+      |UNION ALL SELECT 'edge', 'ENTITY_RELATION', count(*) FROM edges
+      |UNION ALL SELECT 'edge', 'CONTAINS', count(*) FROM evs
+      |UNION ALL SELECT 'edge', 'MENTIONS', count(*) FROM men
+      |UNION ALL SELECT 'edge', 'PARTICIPATES_IN', count(*) FROM parts
+      |UNION ALL SELECT 'edge', 'SIMILAR_TO', count(*) FROM sim
+      |UNION ALL SELECT 'edge', 'EVENT_RELATION', count(*) FROM ee""".stripMargin
 
   /** DuckDB oracle SQL — semantically identical to the Spark plans above.
     * Shared SQL fragments are inlined per query (DuckDB reads the same
@@ -568,31 +604,36 @@ object SparkEntry {
           |UNION ALL SELECT 'mention_surface_unmapped', count(*) FROM (
           |  SELECT entity_name FROM m
           |  WHERE entity_name NOT IN (SELECT entity_name FROM nm))""".stripMargin,
+      // G6 recomputed from dumps: content-representative resolution
+      // (min event_id per content), endpoint joins, provenance count
+      "kg_event_edges" ->
+        """WITH evs AS (SELECT event_id, content
+          |            FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |rep0 AS (SELECT content, min(event_id) AS rep_id FROM evs GROUP BY 1),
+          |rep AS (SELECT e.event_id, r.rep_id FROM evs e JOIN rep0 r USING (content)),
+          |er AS (SELECT head_event_id, tail_event_id, relation_type
+          |       FROM read_parquet('__OUT__/kg_event_rels/*.parquet'))
+          |SELECT h.rep_id AS head_id, t.rep_id AS tail_id, er.relation_type,
+          |       CAST(count(*) AS BIGINT) AS n_sources
+          |FROM er JOIN rep h ON er.head_event_id = h.event_id
+          |        JOIN rep t ON er.tail_event_id = t.event_id
+          |GROUP BY 1, 2, 3""".stripMargin,
+      // G7 recomputed from dumps: explode participants, resolve through
+      // the name map, distinct (inner join = Cypher MATCH drop)
+      "kg_participates" ->
+        """WITH ev AS (SELECT event_id, unnest(participants) AS entity_name
+          |           FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |nm AS (SELECT entity_name, canonical_id
+          |       FROM read_parquet('__OUT__/kg_name_map/*.parquet'))
+          |SELECT DISTINCT nm.canonical_id, ev.event_id
+          |FROM ev JOIN nm USING (entity_name)""".stripMargin,
+      // in-memory stats must agree with the same dump recomputation the
+      // written-table stats use
+      "kg_stats" -> kgStatsOracleSql,
       // per-class counts of the WRITTEN graph tables, each rebuilt from
       // the corresponding dump (Chunk = distinct chunk ids, MENTIONS =
       // distinct (chunk, canonical) through the name map, ...)
-      "kg_stats_written" ->
-        """WITH nm AS (SELECT entity_name, canonical_id
-          |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
-          |chs AS (SELECT DISTINCT chunk_id FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
-          |evs AS (SELECT event_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
-          |ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
-          |edges AS (SELECT subj_id FROM read_parquet('__OUT__/kg_edges/*.parquet')),
-          |parts AS (SELECT event_id FROM read_parquet('__OUT__/kg_participates/*.parquet')),
-          |sim AS (SELECT rank FROM read_parquet('__OUT__/kg_event_similar/*.parquet')),
-          |ee AS (SELECT head_id FROM read_parquet('__OUT__/kg_event_edges/*.parquet')),
-          |men AS (SELECT DISTINCT m.chunk_id, nm.canonical_id
-          |        FROM read_parquet('__OUT__/kg_mentions/*.parquet') m
-          |        JOIN nm ON m.entityName = nm.entity_name)
-          |SELECT 'node' AS kind, 'Chunk' AS class, count(*) AS count FROM chs
-          |UNION ALL SELECT 'node', 'Event', count(*) FROM evs
-          |UNION ALL SELECT 'node', 'Entity', count(*) FROM ents
-          |UNION ALL SELECT 'edge', 'ENTITY_RELATION', count(*) FROM edges
-          |UNION ALL SELECT 'edge', 'CONTAINS', count(*) FROM evs
-          |UNION ALL SELECT 'edge', 'MENTIONS', count(*) FROM men
-          |UNION ALL SELECT 'edge', 'PARTICIPATES_IN', count(*) FROM parts
-          |UNION ALL SELECT 'edge', 'SIMILAR_TO', count(*) FROM sim
-          |UNION ALL SELECT 'edge', 'EVENT_RELATION', count(*) FROM ee""".stripMargin,
+      "kg_stats_written" -> kgStatsOracleSql,
       // multipath+RRF over (bm25 recomputed in SQL, k=50) and (dense
       // ranks re-derived from the dumped scores): the fusion arithmetic,
       // list ranks, and BM25 list are all independently recomputed

@@ -230,7 +230,8 @@ object KGPipeline {
       edges: DataFrame,
       participates: DataFrame,
       eventSimilar: DataFrame,
-      eventEdges: DataFrame)
+      eventEdges: DataFrame,
+      eventRels: DataFrame)
 
   def run(spark: SparkSession, nPages: Long, partitions: Int = 32): Result =
     runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions))
@@ -268,6 +269,6 @@ object KGPipeline {
     // embeddings, cosine >= 0.85, top-10 per event
     val eventSimilar = Canonicalizer.eventKnn(events)
     Result(pages, chunks, mentions, triples, events, entities, nameMap,
-      edges, participates, eventSimilar, evEdges)
+      edges, participates, eventSimilar, evEdges, ex.eventRels)
   }
 }
