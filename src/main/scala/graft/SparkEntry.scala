@@ -55,20 +55,32 @@ object SparkEntry {
     // express the pipeline) ---
     "kg_pages" -> ((s, d) => kg(s, d).pages.toDF()
       .select(col("url"), col("lang"), length(col("text")).as("text_len"))),
+    // content + content_hash ride along so the kg_evidence oracle can
+    // pick the engine's min_by(content_hash) survivor per 8-hex id and
+    // re-normalize the text in SQL
     "kg_chunks" -> ((s, d) => kg(s, d).chunks.toDF()
-      .select("chunk_id", "url", "ord", "header_level", "header_name")),
+      .select("chunk_id", "url", "ord", "header_level", "header_name",
+        "content", "content_hash")),
+    // surface rides along so the kg_evidence oracle can recompute the
+    // extraction evidence invariant (every surface occurs in its
+    // chunk's normalized content) from the dumps
     "kg_mentions" -> ((s, d) => kg(s, d).mentions
-      .select("chunk_id", "entityName", "entityType")),
+      .select("chunk_id", "surface", "entityName", "entityType")),
     "kg_triples" -> ((s, d) => kg(s, d).triples
       .select("chunk_id", "subj", "pred", "obj")),
     "kg_entities" -> ((s, d) => kg(s, d).entities
       .select("canonical_id", "entity_name", "entity_type", "n_mentions", "n_merged_names")),
     "kg_edges" -> ((s, d) => kg(s, d).edges
       .select("subj_id", "pred", "obj_id", "n_sources")),
-    // participants ride along so the kg_participates oracle can
-    // recompute G7 from this dump x the name map
+    // scalar columns ONLY: an ARRAY column in a dump crashes the driver
+    // harness's pandas row sort (round-3 regression — kg_events was
+    // `err`); participants live in the exploded dump below
     "kg_events" -> ((s, d) => kg(s, d).events
-      .select("event_id", "chunk_id", "content", "event_type", "participants")),
+      .select("event_id", "chunk_id", "content", "event_type")),
+    // exploded (event_id, entity_name) participants — the scalar-shaped
+    // input the kg_participates oracle resolves through the name map
+    "kg_event_participants" -> ((s, d) => kg(s, d).events
+      .select(col("event_id"), explode(col("participants")).as("entity_name"))),
     // per-chunk event relations (pre-aggregation): the input the
     // kg_event_edges oracle recomputes G6 from
     "kg_event_rels" -> ((s, d) => kg(s, d).eventRels
@@ -104,6 +116,13 @@ object SparkEntry {
     "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
       .select("head_id", "tail_id", "relation_type", "n_sources")),
     "kg_integrity" -> ((s, d) => graft.sink.GraphSink.integrity(kg(s, d))),
+    // extraction evidence invariants (the last trust-the-ScalaTest gap
+    // on the extraction side): every mention surface occurs in its
+    // chunk's normalized content, and every triple endpoint appears
+    // among that chunk's mention names — recomputed by the oracle from
+    // the kg_mentions/kg_triples/kg_chunks dumps with the
+    // normalization ported to SQL
+    "kg_evidence" -> ((s, d) => kgEvidence(s, d)),
     // --- relational core (SURVEY.md §2.6) ---
     "q_agg_upsert" -> ((s, d) => graft.ops.RelationalOps.aggUpsert(s, d)),
     "q_agg_pricing" -> ((s, d) => graft.ops.RelationalOps.aggPricing(s, d)),
@@ -131,6 +150,11 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => graft.ops.VectorOps.annRecall(s, d)),
     "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
     "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
+    // MMR inputs as dumps (same collected candidate set the greedy loop
+    // consumes): the mmr_rerank oracle re-runs the k-step greedy
+    // argmax over these in SQL
+    "mmr_candidates" -> ((s, d) => graft.ops.VectorOps.mmrCandidates(s, d)),
+    "mmr_pair_sims" -> ((s, d) => graft.ops.VectorOps.mmrPairSims(s, d)),
     "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topK(s, d)),
     // deterministic zh corpus (pages-table text) + CJK-segmented BM25;
     // the oracle re-reads the dumped corpus and runs the SAME
@@ -160,15 +184,35 @@ object SparkEntry {
       graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.164, "l2").select("vec_id")),
     "retrieval_threshold_ip" -> ((s, d) =>
       graft.retrieval.Retrieval.thresholdSearch(s, d, 0L, 0.8, "ip").select("vec_id")),
+    // rounded to 6dp: the oracle joins this against rerank_expected —
+    // an INDEPENDENT columnar recompute of the stub scorer (UDF embed +
+    // codegen cosine vs the mapPartitions batch path) — and both
+    // arithmetics are bit-identical doubles pre-round
     "retrieval_rerank" -> ((s, d) => graft.retrieval.Retrieval.rerank(
-      s, d, "spark join vector", Tables.documents(s, d).select("doc_id"))),
-    // --- chunker family (C2-C4; library ops, rows-only checks) ---
+        s, d, "spark join vector", Tables.documents(s, d).select("doc_id"))
+      .select(col("doc_id"), round(col("rerank_score"), 6).as("rerank_score"))),
+    "rerank_expected" -> ((s, d) => rerankExpected(s, d)),
+    // --- chunker family (C2-C4) ---
     "chunk_token_windows" -> ((s, d) => chunkQuery(s, d,
       t => graft.chunk.TextSplitters.splitTextOnTokens(t, 64, 8))),
+    // overlap=0 here so the coverage identity below is exact (the
+    // leaf-overlap path duplicates characters; it stays ScalaTest-
+    // covered in TextSplittersSpec)
     "chunk_recursive" -> ((s, d) => chunkQuery(s, d,
-      t => graft.chunk.TextSplitters.recursiveSplit(t, 200, 20, List(". ", " ")))),
+      t => graft.chunk.TextSplitters.recursiveSplit(t, 200, 0, List(". ", " ")))),
     "chunk_semantic" -> ((s, d) => chunkQuery(s, d,
       t => graft.chunk.TextSplitters.semanticSplit(t))),
+    // chunker invariants, DuckDB-recomputed from the dumps above:
+    // C3 drops only separator chars (". " / " "), so stripping [. ]
+    // from the ord-ordered concatenation must reproduce the stripped
+    // original; C4 re-joins sentences with single spaces, so stripping
+    // whitespace must; both must cover every doc with dense ordinals
+    "chunk_recursive_check" -> ((s, d) => chunkCoverageCheck(s, d,
+      t => graft.chunk.TextSplitters.recursiveSplit(t, 200, 0, List(". ", " ")),
+      "[. ]", maxLen = Some(200))),
+    "chunk_semantic_check" -> ((s, d) => chunkCoverageCheck(s, d,
+      t => graft.chunk.TextSplitters.semanticSplit(t),
+      "[ \\t\\n\\x0B\\f\\r]", maxLen = None)),
     // --- multimodal plumbing ---
     "mm_decode_meta" -> ((s, d) => graft.mm.MultimodalOps.decodeMeta(s, d)),
     // --- time-window aggregation over the events table ---
@@ -194,6 +238,164 @@ object SparkEntry {
         split(t).zipWithIndex.map { case (c, i) => (id, i, c) }
       }
       .toDF("doc_id", "ord", "chunk")
+  }
+
+  /** Extraction evidence invariants as data rows (check_name,
+    * violations) — the Spark side of the kg_evidence oracle:
+    *  - every mention surface is a substring of its chunk's NORMALIZED
+    *    content (the Aho-Corasick/pattern passes all match over
+    *    [[graft.extract.KnowledgeBase.normalize]]d text, so a surface
+    *    not found there means the extractor invented evidence);
+    *  - every triple subj/obj appears among that chunk's mention names
+    *    (the E7 cleaning contract: endpoints are linkable entities).
+    * The chunk text is the min_by(content_hash) survivor — the same
+    * 8-hex-collision rule extract() stores results under. */
+  def kgEvidence(s: SparkSession, d: String): DataFrame = {
+    val r = kg(s, d)
+    val normUdf = udf((c: String) => graft.extract.KnowledgeBase.normalize(c))
+    val chs = r.chunks.toDF().groupBy("chunk_id")
+      .agg(min_by(col("content"), col("content_hash")).as("content"))
+      .select(col("chunk_id"), normUdf(col("content")).as("norm"))
+    val m = r.mentions
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    Seq(
+      cnt("mention_surface_not_in_chunk",
+        m.join(chs, "chunk_id").filter(!col("norm").contains(col("surface")))),
+      cnt("triple_subj_not_mentioned",
+        r.triples.join(
+          m.select(col("chunk_id"), col("entityName").as("subj")).distinct(),
+          Seq("chunk_id", "subj"), "left_anti")),
+      cnt("triple_obj_not_mentioned",
+        r.triples.join(
+          m.select(col("chunk_id"), col("entityName").as("obj")).distinct(),
+          Seq("chunk_id", "obj"), "left_anti"))
+    ).reduce(_.unionByName(_))
+  }
+
+  /** [[graft.extract.KnowledgeBase.normalize]] ported to DuckDB SQL:
+    * strip exactly Java's Character.isWhitespace set, fold full-width
+    * parens to ASCII. The class spells out the Java set (U+0085 NEL and
+    * the no-break spaces U+00A0/U+2007/U+202F are NOT Java whitespace). */
+  private val sqlNormWs =
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x{1680}\\x{2000}-\\x{2006}" +
+      "\\x{2008}-\\x{200A}\\x{2028}\\x{2029}\\x{205F}\\x{3000}]"
+  private def sqlNormalize(col: String): String =
+    s"replace(replace(regexp_replace($col, '$sqlNormWs', '', 'g'), '（', '('), '）', ')')"
+
+  /** Chunker coverage/ordinal/size invariants as data rows — the Spark
+    * side of the chunk_*_check oracles. `stripClass` is the char class
+    * the splitter may drop/collapse between chunks: stripping it from
+    * the ord-ordered concatenation and from the original must agree. */
+  private def chunkCoverageCheck(s: SparkSession, d: String,
+      split: String => Seq[String], stripClass: String,
+      maxLen: Option[Int]): DataFrame = {
+    val ch = chunkQuery(s, d, split)
+    val agg = ch.groupBy("doc_id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("ord"), col("chunk")))),
+        x => x.getField("chunk")), "").as("joined"),
+      count(lit(1)).as("n"), max("ord").as("max_ord"),
+      countDistinct("ord").as("n_ord"),
+      max(length(col("chunk"))).as("max_len"))
+    val d0 = docs(s, d).select("doc_id", "text")
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    val base = Seq(
+      cnt("coverage_mismatch", agg.join(d0, "doc_id").filter(
+        regexp_replace(col("joined"), stripClass, "") =!=
+          regexp_replace(col("text"), stripClass, ""))),
+      cnt("doc_without_chunks", d0.join(agg, Seq("doc_id"), "left_anti")),
+      cnt("ord_not_dense", agg.filter(
+        col("max_ord") =!= col("n") - 1 || col("n_ord") =!= col("n"))))
+    val all = maxLen match {
+      case Some(m) => base :+ cnt("chunk_oversize", agg.filter(col("max_len") > m))
+      case None => base
+    }
+    all.reduce(_.unionByName(_))
+  }
+
+  /** Chunk-check oracle SQL over a dumped chunk table: same four counts
+    * recomputed by DuckDB from the dump x documents. */
+  private def chunkCheckOracleSql(dump: String, stripClass: String,
+      maxLen: Option[Int]): String = {
+    val sizeRow = maxLen.map(m =>
+      s"\nUNION ALL SELECT 'chunk_oversize', count(*) FROM agg WHERE max_len > $m")
+      .getOrElse("")
+    s"""WITH ch AS (SELECT doc_id, ord, chunk
+       |           FROM read_parquet('__OUT__/$dump/*.parquet')),
+       |agg AS (SELECT doc_id, string_agg(chunk, '' ORDER BY ord) AS joined,
+       |               count(*) AS n, max(ord) AS max_ord,
+       |               count(DISTINCT ord) AS n_ord,
+       |               max(length(chunk)) AS max_len
+       |        FROM ch GROUP BY 1),
+       |d AS (SELECT doc_id, text FROM documents)
+       |SELECT 'coverage_mismatch' AS check_name, count(*) AS violations
+       |  FROM agg JOIN d USING (doc_id)
+       |  WHERE regexp_replace(joined, '$stripClass', '', 'g')
+       |     <> regexp_replace(text, '$stripClass', '', 'g')
+       |UNION ALL SELECT 'doc_without_chunks', count(*) FROM d
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM agg)
+       |UNION ALL SELECT 'ord_not_dense', count(*) FROM agg
+       |  WHERE max_ord <> n - 1 OR n_ord <> n$sizeRow""".stripMargin
+  }
+
+  /** Columnar recompute of the rerank stub scorer: embed the doc text
+    * with a UDF, cosine against the query vector via the codegen
+    * expression — arithmetic bit-identical to
+    * [[graft.retrieval.HashingCosineScorer]] (same double accumulation
+    * order; products commute exactly in IEEE), through an independent
+    * execution path (column pipeline vs mapPartitions batches). */
+  def rerankExpected(s: SparkSession, d: String): DataFrame = {
+    val qv = graft.retrieval.DenseRetriever.queryVec("spark join vector")
+    val embUdf = udf((t: String) =>
+      graft.embed.HashingEmbedder.embed(t.toLowerCase).toSeq)
+    // UNROUNDED: the oracle must order by the same raw doubles the
+    // batch scorer ordered by (rounding first could flip a top-10
+    // boundary tie); the 6dp round happens in the oracle's final select
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.embed.CosineSimilarity(embUdf(col("text")),
+        typedLit(qv)).as("expected_score"))
+  }
+
+  /** mmr_rerank oracle: the k-step greedy argmax unrolled as chained
+    * CTEs over the dumped candidate/pairwise similarities — step i
+    * picks the remaining candidate maximizing
+    * 0.5*sim_q - 0.5*max(sim to selected), ties to the lower vec_id
+    * (exactly the driver loop's (score, -id) maxBy). Double arithmetic
+    * is identical on both sides: the dumps carry the very doubles the
+    * loop consumed. */
+  private def mmrOracleSql(k: Int = 10): String = {
+    // MATERIALIZED throughout: each sel_i references every prior step,
+    // so DuckDB's default CTE INLINING would expand the tree ~2^k-fold
+    // (measured: fd exhaustion surfacing as a bogus "No files found"
+    // glob error at k = 10); materialization keeps the plan linear
+    val sb = new StringBuilder
+    sb ++= s"""WITH c AS MATERIALIZED (SELECT vec_id, sim_q
+              |          FROM read_parquet('__OUT__/mmr_candidates/*.parquet')),
+              |p AS MATERIALIZED (SELECT vec_a, vec_b, sim
+              |      FROM read_parquet('__OUT__/mmr_pair_sims/*.parquet')),
+              |s1 AS MATERIALIZED (SELECT vec_id FROM c
+              |       ORDER BY 0.5 * sim_q DESC, vec_id LIMIT 1)""".stripMargin
+    for (i <- 2 to k) {
+      val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+                |sel${i - 1} AS MATERIALIZED ($sel),
+                |s$i AS MATERIALIZED (SELECT c.vec_id FROM c
+                |  JOIN p ON p.vec_a = c.vec_id
+                |        AND p.vec_b IN (SELECT vec_id FROM sel${i - 1})
+                |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+                |  GROUP BY c.vec_id, c.sim_q
+                |  ORDER BY 0.5 * c.sim_q - 0.5 * max(p.sim) DESC, c.vec_id
+                |  LIMIT 1)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, vec_id FROM s$i")
+      .mkString("\nUNION ALL ")
+    sb.toString
   }
 
   /** Tumbling 1-hour window aggregate over the events stream table —
@@ -618,15 +820,51 @@ object SparkEntry {
           |FROM er JOIN rep h ON er.head_event_id = h.event_id
           |        JOIN rep t ON er.tail_event_id = t.event_id
           |GROUP BY 1, 2, 3""".stripMargin,
-      // G7 recomputed from dumps: explode participants, resolve through
-      // the name map, distinct (inner join = Cypher MATCH drop)
+      // G7 recomputed from dumps: the exploded participants dump joined
+      // through the name map, distinct (inner join = Cypher MATCH drop)
       "kg_participates" ->
-        """WITH ev AS (SELECT event_id, unnest(participants) AS entity_name
-          |           FROM read_parquet('__OUT__/kg_events/*.parquet')),
+        """WITH ev AS (SELECT event_id, entity_name
+          |           FROM read_parquet('__OUT__/kg_event_participants/*.parquet')),
           |nm AS (SELECT entity_name, canonical_id
           |       FROM read_parquet('__OUT__/kg_name_map/*.parquet'))
           |SELECT DISTINCT nm.canonical_id, ev.event_id
           |FROM ev JOIN nm USING (entity_name)""".stripMargin,
+      // extraction evidence invariants recomputed from dumps: chunk
+      // survivor by min content_hash (the engine's 8-hex-collision
+      // rule), normalization ported to SQL, substring + endpoint checks
+      "kg_evidence" ->
+        s"""WITH chs AS (SELECT chunk_id,
+           |               arg_min(content, content_hash) AS content
+           |             FROM read_parquet('__OUT__/kg_chunks/*.parquet')
+           |             GROUP BY 1),
+           |n AS (SELECT chunk_id, ${sqlNormalize("content")} AS norm FROM chs),
+           |m AS (SELECT chunk_id, surface, entityName
+           |      FROM read_parquet('__OUT__/kg_mentions/*.parquet')),
+           |t AS (SELECT chunk_id, subj, obj
+           |      FROM read_parquet('__OUT__/kg_triples/*.parquet'))
+           |SELECT 'mention_surface_not_in_chunk' AS check_name,
+           |       count(*) AS violations
+           |  FROM m JOIN n USING (chunk_id) WHERE NOT contains(n.norm, m.surface)
+           |UNION ALL SELECT 'triple_subj_not_mentioned', count(*) FROM t
+           |  WHERE NOT EXISTS (SELECT 1 FROM m
+           |    WHERE m.chunk_id = t.chunk_id AND m.entityName = t.subj)
+           |UNION ALL SELECT 'triple_obj_not_mentioned', count(*) FROM t
+           |  WHERE NOT EXISTS (SELECT 1 FROM m
+           |    WHERE m.chunk_id = t.chunk_id AND m.entityName = t.obj)""".stripMargin,
+      // chunker invariants recomputed from the chunk dumps x documents
+      "chunk_recursive_check" ->
+        chunkCheckOracleSql("chunk_recursive", "[. ]", Some(200)),
+      "chunk_semantic_check" ->
+        chunkCheckOracleSql("chunk_semantic", "[ \\t\\n\\x0B\\f\\r]", None),
+      // greedy MMR selection re-run step by step in SQL over the dumped
+      // candidate/pairwise similarities
+      "mmr_rerank" -> mmrOracleSql(10),
+      // the mapPartitions batch scorer's top-10 must equal the top-10 of
+      // the independent columnar recompute (rerank_expected dump)
+      "retrieval_rerank" ->
+        """SELECT doc_id, round(expected_score, 6) AS rerank_score
+          |FROM read_parquet('__OUT__/rerank_expected/*.parquet')
+          |ORDER BY expected_score DESC, doc_id LIMIT 10""".stripMargin,
       // in-memory stats must agree with the same dump recomputation the
       // written-table stats use
       "kg_stats" -> kgStatsOracleSql,

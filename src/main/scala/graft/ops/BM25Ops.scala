@@ -97,7 +97,10 @@ object BM25Ops {
 
       val queryDf = {
         import spark.implicits._
-        query.toDF("tok")
+        // distinct: a repeated query term would otherwise duplicate
+        // (tok, idf) rows AND double-count tf through the joins; the
+        // oracle's `tok IN (...)` has set semantics, matched here
+        query.distinct.toDF("tok")
       }
       val tf = toks
         .join(broadcast(queryDf), Seq("tok"))

@@ -91,17 +91,33 @@ object VectorOps {
         explode(bucketsUdf(col("embedding"))).as("bucket"))
   }
 
+  /** [[lshBucketIndex]] materialized ONCE per (session, table) and
+    * cached — the query-serving shape: the per-row embedding UDF runs
+    * exactly once however many queries probe; each probe is a filter
+    * over the cached columnar index (at cluster scale: a
+    * bucket-partitioned parquet table and partition pruning — same
+    * access pattern, durable form). Round-3 verdict #2: the default
+    * path must never be O(corpus-UDF) per query. */
+  private val lshIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def lshBucketIndexCached(spark: SparkSession, sfDir: String): DataFrame =
+    lshIndexCache.getOrElseUpdate((spark, sfDir),
+      lshBucketIndex(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** LSH-bucketed top-k for ONE external query vector (the dense
     * retriever's scale path): candidates = vectors sharing any LSH
     * table key with the query (an `isin` over the query's <= nTables
     * keys — partition-prunable against a bucket-partitioned index),
-    * exact-cosine verified, top-k. Pass a pre-materialized
-    * [[lshBucketIndex]] to amortize index construction across queries. */
+    * exact-cosine verified, top-k. Defaults to the memoized
+    * [[lshBucketIndexCached]]; pass an explicit index (e.g. a
+    * bucket-partitioned parquet read) to override. */
   def lshTopKForVector(spark: SparkSession, sfDir: String,
       qv: Array[Float], k: Int,
       index: Option[DataFrame] = None): DataFrame = {
     val keys = HyperplaneLSH.tableKeys(qv).toSeq
-    index.getOrElse(lshBucketIndex(spark, sfDir))
+    index.getOrElse(lshBucketIndexCached(spark, sfDir))
       .filter(col("bucket").isin(keys: _*))
       .dropDuplicates("vec_id")
       .select(col("vec_id").as("doc_id"),
@@ -266,13 +282,17 @@ object VectorOps {
     * Inherently sequential over <= fetchK rows, so the greedy loop runs
     * on the driver (same as the reference); candidate fetch is
     * distributed. Deterministic: ties broken by vec_id. */
-  def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
-      k: Int = 10, fetchK: Int = 20, lambdaMult: Double = 0.5): DataFrame = {
-    import spark.implicits._
+  /** Candidate fetch shared by [[mmrRerank]] and the dump builders
+    * below: top `fetchK` by query cosine, collected to the driver
+    * (<= fetchK rows by construction — the same driver-sized loop the
+    * reference runs, VectorStore_Faiss.py:16-62). Deterministic:
+    * ties broken by vec_id. */
+  private def mmrFetch(spark: SparkSession, sfDir: String, queryId: Long,
+      fetchK: Int): Array[(Long, Double, Array[Float])] = {
     val emb = Tables.embeddings(spark, sfDir)
     val qv = emb.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).toArray
-    val cands = emb.filter(col("vec_id") =!= queryId)
+    emb.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"),
         CosineSimilarity(col("embedding"), typedLit(qv.toSeq)).as("cos"),
         col("embedding"))
@@ -280,6 +300,37 @@ object VectorOps {
       .limit(fetchK)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+  }
+
+  /** (vec_id, sim_q) of the MMR candidate set — the exact doubles the
+    * greedy loop consumes, dumped so the DuckDB oracle can re-run the
+    * selection with identical arithmetic. */
+  def mmrCandidates(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      fetchK: Int = 20): DataFrame = {
+    import spark.implicits._
+    mmrFetch(spark, sfDir, queryId, fetchK)
+      .map { case (id, simQ, _) => (id, simQ) }.toSeq
+      .toDF("vec_id", "sim_q")
+  }
+
+  /** All ordered pairwise candidate similarities (a != b), via the same
+    * HashingEmbedder.cosine the greedy loop calls — fetchK^2 rows,
+    * driver-sized. */
+  def mmrPairSims(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      fetchK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val cands = mmrFetch(spark, sfDir, queryId, fetchK)
+    (for {
+      a <- cands; b <- cands if a._1 != b._1
+    } yield (a._1, b._1,
+      graft.embed.HashingEmbedder.cosine(a._3, b._3))).toSeq
+      .toDF("vec_a", "vec_b", "sim")
+  }
+
+  def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
+      k: Int = 10, fetchK: Int = 20, lambdaMult: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val cands = mmrFetch(spark, sfDir, queryId, fetchK)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
     while (selected.length < k && remaining.nonEmpty) {

@@ -56,8 +56,11 @@ final class Lineage(
           out.toString("UTF-8").trim == Lineage.FormatVersion
         } finally in.close()
       } catch {
-        // an unreadable/corrupt stamp means "unknown version": recompute
-        case _: java.io.IOException => false
+        // any unreadable/corrupt stamp means "unknown version":
+        // recompute — NonFatal, not just IOException, so an exotic FS
+        // implementation error degrades to a safe recompute exactly
+        // like the adjacent requires-guard does
+        case scala.util.control.NonFatal(_) => false
       }
   }
 

@@ -172,6 +172,7 @@ object GraphSink {
     * count from the dumped tables. */
   def writtenStats(spark: SparkSession, r: KGPipeline.Result,
       outDir: String): DataFrame = {
+    import spark.implicits._
     write(r, outDir)
     val n = spark.read.parquet(s"$outDir/nodes")
       .groupBy(col("label").as("class")).count()
@@ -179,7 +180,16 @@ object GraphSink {
     val e = spark.read.parquet(s"$outDir/edges")
       .groupBy(col("edge_type").as("class")).count()
       .withColumn("kind", lit("edge"))
-    n.unionByName(e).select("kind", "class", "count")
+    // collect the per-class counts (one row per node label / edge type
+    // — driver-sized by construction) BEFORE deleting the temp graph:
+    // a lazy plan handed back would re-read the deleted tables, and
+    // NOT deleting leaks a full nodes+edges copy per run (round-3
+    // verdict #3 / ADVICE)
+    val rows = n.unionByName(e).select("kind", "class", "count")
+      .collect().map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    rows.toSeq.toDF("kind", "class", "count")
   }
 
   /** G15 delete-by-class (reference event_graphrag_neo4j.py:578-598):

@@ -76,6 +76,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dense_lsh probe reuses the cached bucket index: no per-query corpus UDF") {
+    // materialize once (the retriever default), then the probe plan must
+    // be a filter on `bucket` over the cached index — not a fresh
+    // embeddings scan + per-row LSH UDF (round-3 verdict #2)
+    VectorOps.lshBucketIndexCached(spark, sf0001).count() // warm the cache
+    val df = graft.retrieval.DenseRetriever.lshRetriever()
+      .retrieve(spark, sf0001, "spark join vector", 10)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(p.toLowerCase.contains("bucket"), p)
+    // structural: the probe tree itself reads NO file scan (the plan
+    // STRING shows one inside the InMemoryRelation's cached-child
+    // printout, which is the build-once cost, not the probe)
+    val probeScans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(probeScans.isEmpty, probeScans.mkString(", "))
+    // the UDF may appear inside the InMemoryRelation's CACHED child plan
+    // printout; what matters is no UDF executes per probe — assert the
+    // probe's own operators (everything above the cache scan) carry none
+    val probeExprs = df.queryExecution.executedPlan.collect {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq.empty[String]
+      case other => other.expressions.map(_.toString)
+    }.flatten
+    assert(!probeExprs.exists(_.contains("UDF")), probeExprs.mkString("\n"))
+  }
+
   test("dense retrieval scans the precomputed embeddings table with no corpus UDF") {
     val df = new graft.retrieval.DenseRetriever()
       .retrieve(spark, sf0001, "spark join vector", 50)

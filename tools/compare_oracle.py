@@ -5,7 +5,7 @@ rows/columns, and compare exactly (with a float-proximity warning).
 
 Usage: python3 tools/compare_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 import pandas as pd
 
@@ -71,4 +71,28 @@ for name, sql in sorted(oracle.items()):
         note = f" [dtype diff: {', '.join(dt)}]" if dt else ""
         print(f"PASS {name} ({len(odf)} rows){note}")
 print(f"{fails} failures / {len(oracle)} queries")
-sys.exit(1 if fails else 0)
+
+# Harness-compatibility pass over EVERY dump, oracle or not: the driver
+# sorts each dump's rows in pandas before hashing, which crashes on
+# unhashable cell types (round 3: an ARRAY column made kg_events `err`
+# before even a row count). Reproduce that sort locally so a dump the
+# driver cannot ingest fails HERE, not in the round report.
+harness_fails = 0
+dumps = sorted(d for d in os.listdir(outdir)
+               if os.path.isdir(os.path.join(outdir, d)))
+for name in dumps:
+    try:
+        sdf = pd.read_parquet(os.path.join(outdir, name))
+        sdf = sdf[sorted(sdf.columns)]
+        sdf.sort_values(by=list(sdf.columns))
+        # the driver also hashes stringified cells: force the conversion
+        for c in sdf.columns:
+            hash(tuple(sdf[c].astype(str).head(50)))
+    except Exception as e:
+        print(f"HARNESS-FAIL {name}: {type(e).__name__}: {e}")
+        harness_fails += 1
+        continue
+    if name not in oracle:
+        print(f"HARNESS-OK {name} ({len(sdf)} rows, rows-only)")
+print(f"{harness_fails} harness failures / {len(dumps)} dumps")
+sys.exit(1 if (fails or harness_fails) else 0)
