@@ -460,6 +460,26 @@ object SparkEntry {
        |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /** Ranking-invariant oracle for an approximate ANN dump: re-rank the
+    * dumped (query_id, neighbor_id) pairs by exact cosine from the
+    * embeddings table (ties to the lower id — the engines' shared
+    * contract) and require the dumped rank column to match. The
+    * candidate set itself is approximate (covered by ann_recall); what
+    * this pins is that returned neighbors are genuinely ordered by
+    * their true similarity. */
+  private def annRankInvariantOracleSql(dump: String): String =
+    s"""WITH d AS (SELECT query_id, neighbor_id
+       |           FROM read_parquet('__OUT__/$dump/*.parquet')),
+       |s AS (SELECT d.query_id, d.neighbor_id,
+       |        list_cosine_similarity(e.embedding, q.embedding) AS cos
+       |      FROM d JOIN embeddings e ON e.vec_id = d.neighbor_id
+       |             JOIN embeddings q ON q.vec_id = d.query_id)
+       |SELECT query_id,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       |       neighbor_id
+       |FROM s""".stripMargin
+
   /** Per-class graph counts rebuilt from the dumps (Chunk = distinct
     * chunk ids, MENTIONS = distinct (chunk, canonical) through the name
     * map, ...). Shared by kg_stats (in-memory frames) and
@@ -644,6 +664,15 @@ object SparkEntry {
           |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
           |      FROM s)
           |SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 10""".stripMargin,
+      // approximate families: the candidate SET is approximate by
+      // design (recall is measured by ann_recall), but the RANKING over
+      // whatever was returned must be the exact-cosine order with
+      // deterministic ties — recomputed here over the dump's own
+      // (query, neighbor) pairs. Relative order within the returned
+      // top-k is preserved under restriction, so dense re-ranking of
+      // the dump must reproduce the dumped rank column exactly.
+      "ann_topk_lsh" -> annRankInvariantOracleSql("ann_topk_lsh"),
+      "ann_topk_ivf" -> annRankInvariantOracleSql("ann_topk_ivf"),
       "vec_neardup" ->
         """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

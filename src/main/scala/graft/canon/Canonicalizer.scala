@@ -28,12 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Canonicalizer {
 
-  val MergeThreshold = 0.95
-  val Salts = 16
-  val ListCap = 64
+  // Tuning knobs live in graft.GraftConfig (the typed flags surface —
+  // reference framework/config.py); these forwards keep the historical
+  // names usable as the documented defaults.
+  val MergeThreshold: Double = graft.GraftConfig.default.mergeThreshold
+  val Salts: Int = graft.GraftConfig.default.salts
+  val ListCap: Int = graft.GraftConfig.default.listCap
   /** Max distinct members per LSH band key before the band is dropped
     * as pathological (quadratic join cost, ~no similarity signal). */
-  val MaxBandSize = 10000
+  val MaxBandSize: Int = graft.GraftConfig.default.maxBandSize
 
   /** Decoration suffixes from the reference clean prompt. */
   private val decorations = Seq("装置", "产品", "类型", "某某", "一种")
@@ -85,14 +88,12 @@ object Canonicalizer {
     * volume. A hypothetical J = 0.8 near-miss still detects with
     * P = 1-(1-0.8^8)^16 ≈ 0.95; anything with lower shingle overlap
     * cannot reach cosine 0.95 over the same n-gram space. */
-  private val NameBands = 16
-  private val NameRows = 8
-  private val bandsUdf = udf { (s: String) =>
+  private def bandsUdf(nameBands: Int, nameRows: Int) = udf { (s: String) =>
     // shingle the embedding-normalized form so spacing/punct alias
     // variants land in identical bands (their embeddings are identical)
     val k = embedKey(s)
     val shingles = if (k.length < 3) Set(k) else k.sliding(3).toSet
-    MinHasher.bandKeys(MinHasher.signature(shingles), NameBands, NameRows)
+    MinHasher.bandKeys(MinHasher.signature(shingles), nameBands, nameRows)
   }
 
   /** Mentions (entityName, entityType, entityDescription, chunkId) ->
@@ -116,8 +117,14 @@ object Canonicalizer {
   private def probe(n: String)(f: => Any): Unit =
     if (sys.env.contains("GRAFT_KG_STAGE_TIMES")) timed(n)(f)
 
-  def canonicalize(mentions: DataFrame): (DataFrame, DataFrame) = {
+  def canonicalize(mentions: DataFrame,
+      cfg: graft.GraftConfig = graft.GraftConfig.default)
+      : (DataFrame, DataFrame) = {
     val spark = mentions.sparkSession
+    // local shadows: the method body reads its knobs from cfg (the
+    // object-level constants remain as the documented defaults)
+    val (mergeThreshold, salts) = (cfg.mergeThreshold, cfg.salts)
+    val (listCap, maxBandSize) = (cfg.listCap, cfg.maxBandSize)
 
     // First-writer-wins semantics: the reference fixes id_/entity_type
     // at the FIRST mention's values (MERGE ... ON CREATE SET,
@@ -136,7 +143,7 @@ object Canonicalizer {
     val keyed = withOrd
       .withColumn("norm_name", normalizeNameUdf(col("entityName")))
       .withColumn("name_key", lower(col("norm_name")))
-      .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(Salts)))
+      .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(salts)))
 
     // `aliases` (the distinct raw surfaces per normalized key) is the
     // ONLY uncapped accumulator: it is vocabulary-bounded (case and
@@ -159,8 +166,8 @@ object Canonicalizer {
         min(struct(col("chunkId"), col("ord"), col("norm_name"),
           col("entityType"))).as("first_w"),
         sort_array(collect_set("entityName")).as("aliases"),
-        BoundedAgg.distinctMin(col("entityDescription"), ListCap).as("descriptions"),
-        BoundedAgg.distinctMin(col("chunkId"), ListCap).as("source_chunks"))
+        BoundedAgg.distinctMin(col("entityDescription"), listCap).as("descriptions"),
+        BoundedAgg.distinctMin(col("chunkId"), listCap).as("source_chunks"))
 
     // persisted: `names` feeds three consumers (LSH banding, CC vertex
     // set, representative merge) and sits on top of the whole
@@ -174,8 +181,8 @@ object Canonicalizer {
           sum("n_mentions").as("n_mentions"),
           min("first_w").as("first_w"),
           array_distinct(sort_array(flatten(collect_set("aliases")))).as("aliases"),
-          BoundedAgg.distinctMinFlat(col("descriptions"), ListCap).as("descriptions"),
-          BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap).as("source_chunks"))
+          BoundedAgg.distinctMinFlat(col("descriptions"), listCap).as("descriptions"),
+          BoundedAgg.distinctMinFlat(col("source_chunks"), listCap).as("source_chunks"))
         .withColumn("display_name", col("first_w.norm_name"))
         .withColumn("entity_type", col("first_w.entityType"))
         .drop("first_w")
@@ -184,7 +191,8 @@ object Canonicalizer {
         // references this frame four times (two join sides + the
         // band-size guard), and an uncheckpointed UDF would re-run the
         // 128-minhash signature per reference
-        .withColumn("bands", bandsUdf(col("display_name")))
+        .withColumn("bands",
+          bandsUdf(cfg.nameBands, cfg.nameRows)(col("display_name")))
         .localCheckpoint(true)
     }
 
@@ -214,7 +222,7 @@ object Canonicalizer {
         explode(col("bands")).as("band"))
     val banded = banded0.join(
       banded0.groupBy("band").agg(count(lit(1)).as("band_n"))
-        .filter(col("band_n") <= MaxBandSize)
+        .filter(col("band_n") <= maxBandSize)
         .select("band"),
       Seq("band"))
     val a = banded.as("a")
@@ -237,7 +245,8 @@ object Canonicalizer {
     // BroadcastNameMapMax/8) would have been 300-500 MB.
     val embs0 = names.select(col("name_key"), col("embedding"))
     val embs =
-      if (names.count() <= BroadcastEmbeddingMax) broadcast(embs0) else embs0
+      if (names.count() <= cfg.broadcastEmbeddingMax) broadcast(embs0)
+      else embs0
     val candidates = candPairs
       .join(embs.withColumnRenamed("name_key", "src")
         .withColumnRenamed("embedding", "ea"), "src")
@@ -251,7 +260,7 @@ object Canonicalizer {
     val verified = graft.pipeline.Jobs.named(spark, "canon: LSH band join + cosine verify (G9)") {
       candidates
         .withColumn("cos", CosineSimilarity(col("ea"), col("eb")))
-        .filter(col("cos") >= MergeThreshold)
+        .filter(col("cos") >= mergeThreshold)
         .select("src", "dst")
         .localCheckpoint(true)
     }
@@ -261,7 +270,8 @@ object Canonicalizer {
     // both join through it
     val comps = timed("cc")(graft.pipeline.Jobs.named(spark, "canon: connected components (G10)") {
       ConnectedComponents.runWithVertices(
-        verified, names.select(col("name_key").as("id")))
+        verified, names.select(col("name_key").as("id")),
+        localSolveMax = cfg.ccLocalSolveMax)
         .localCheckpoint(true)
     })
 
@@ -275,9 +285,9 @@ object Canonicalizer {
         max_by(col("entity_type"), struct(col("n_mentions"), col("name_key"))).as("entity_type"),
         sum("n_mentions").as("n_mentions"),
         count(lit(1)).as("n_merged_names"),
-        BoundedAgg.distinctMinFlat(col("aliases"), ListCap).as("aliases"),
-        BoundedAgg.distinctMinFlat(col("descriptions"), ListCap).as("descriptions"),
-        BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap).as("source_chunks"))
+        BoundedAgg.distinctMinFlat(col("aliases"), listCap).as("aliases"),
+        BoundedAgg.distinctMinFlat(col("descriptions"), listCap).as("descriptions"),
+        BoundedAgg.distinctMinFlat(col("source_chunks"), listCap).as("source_chunks"))
 
     // raw name -> canonical id (for triple endpoint rewrite); name_key
     // rides along so the driver oracle can recompute the G12 merge and
@@ -297,8 +307,9 @@ object Canonicalizer {
     * come from an equi-join on (table, key), verified by exact cosine,
     * then per-source top-k by window rank. Input: events with
     * (event_id, content); output (src_event, dst_event, rank). */
-  def eventKnn(events: DataFrame, topK: Int = 10,
-      cutoff: Double = 0.85): DataFrame = {
+  def eventKnn(events: DataFrame,
+      topK: Int = graft.GraftConfig.default.eventKnnTopK,
+      cutoff: Double = graft.GraftConfig.default.eventKnnCutoff): DataFrame = {
     val embedContentUdf = udf((s: String) => HashingEmbedder.embed(s.toLowerCase))
     val bucketsUdf = udf((v: Seq[Float]) =>
       graft.lsh.HyperplaneLSH.tableKeys(v.toArray))
@@ -368,10 +379,12 @@ object Canonicalizer {
     * name-map row cap. */
   val BroadcastEmbeddingMax = 100000L
 
-  def rewriteTriples(triples: DataFrame, nameMap: DataFrame): DataFrame = {
+  def rewriteTriples(triples: DataFrame, nameMap: DataFrame,
+      cfg: graft.GraftConfig = graft.GraftConfig.default): DataFrame = {
+    val (listCap, salts) = (cfg.listCap, cfg.salts)
     // nameMap is checkpointed by the callers, so the count is a cheap
     // metadata-ish job, not a recompute of the canonicalization DAG
-    val small = nameMap.count() <= BroadcastNameMapMax
+    val small = nameMap.count() <= cfg.broadcastNameMapMax
     def side(m: DataFrame): DataFrame = if (small) broadcast(m) else m
     val subjMap = side(nameMap
       .select(col("entity_name").as("subj"), col("canonical_id").as("subj_id")))
@@ -381,17 +394,17 @@ object Canonicalizer {
       .join(subjMap, "subj")
       .join(objMap, "obj")
       .filter(col("subj_id") =!= col("obj_id"))
-      .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(Salts)))
+      .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(salts)))
       .groupBy("subj_id", "pred", "obj_id", "salt")
       .agg(
         count(lit(1)).as("n_sources"),
         min("description").as("description"),
-        BoundedAgg.distinctMin(col("chunkId"), ListCap).as("source_chunks"))
+        BoundedAgg.distinctMin(col("chunkId"), listCap).as("source_chunks"))
       .groupBy("subj_id", "pred", "obj_id")
       .agg(
         sum("n_sources").as("n_sources"),
         min("description").as("description"),
-        BoundedAgg.distinctMinFlat(col("source_chunks"), ListCap)
+        BoundedAgg.distinctMinFlat(col("source_chunks"), listCap)
           .as("source_chunks"))
   }
 }

@@ -187,8 +187,9 @@ object ConnectedComponents {
   }
 
   /** Components including singleton vertices from `vertices(id)`. */
-  def runWithVertices(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    val cc = run(edges)
+  def runWithVertices(edges: DataFrame, vertices: DataFrame,
+      localSolveMax: Long = LocalSolveMax): DataFrame = {
+    val cc = run(edges, localSolveMax = localSolveMax)
     vertices.select(col("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"),

@@ -239,7 +239,8 @@ object KGPipeline {
   /** Same DAG over an externally supplied pages table (the real job
     * shape: spark.read over the Iceberg/parquet pages table). */
   def runOnPages(spark: SparkSession, pages: Dataset[Page],
-      fromHtml: Boolean = true, stageDir: Option[String] = None): Result = {
+      fromHtml: Boolean = true, stageDir: Option[String] = None,
+      cfg: graft.GraftConfig = graft.GraftConfig.default): Result = {
     import spark.implicits._
     val chunks = chunk(pages, fromHtml)
     val ex = extract(spark, chunks, stageDir)
@@ -248,7 +249,7 @@ object KGPipeline {
     // chunkId in mentions/triples refers to the distinct chunk; re-join
     // provenance (all urls containing the chunk) happens on demand
     val (entities, nameMap0) = Canonicalizer.canonicalize(
-      mentions.withColumnRenamed("chunk_id", "chunkId"))
+      mentions.withColumnRenamed("chunk_id", "chunkId"), cfg)
     // nameMap feeds three joins (subj/obj endpoint rewrite +
     // participant resolution) — persist so the canonicalization subtree
     // computes once per action
@@ -256,7 +257,7 @@ object KGPipeline {
       nameMap0.localCheckpoint(true)
     }
     val edges = Canonicalizer.rewriteTriples(
-      triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
+      triples.withColumnRenamed("chunk_id", "chunkId"), nameMap, cfg)
     // G7 PARTICIPATES_IN: explode participants, resolve through the
     // canonical map (inner join drops names killed by the filters —
     // Cypher MATCH semantics, reference event_graphrag_neo4j.py:479-558)
@@ -266,8 +267,9 @@ object KGPipeline {
       .select(col("canonical_id"), col("event_id"))
       .distinct()
     // G13 event disambiguation: hyperplane-LSH candidates over content
-    // embeddings, cosine >= 0.85, top-10 per event
-    val eventSimilar = Canonicalizer.eventKnn(events)
+    // embeddings, cosine >= cutoff (default 0.85), top-k per event
+    val eventSimilar = Canonicalizer.eventKnn(events,
+      cfg.eventKnnTopK, cfg.eventKnnCutoff)
     Result(pages, chunks, mentions, triples, events, entities, nameMap,
       edges, participates, eventSimilar, evEdges, ex.eventRels)
   }

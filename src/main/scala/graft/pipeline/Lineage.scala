@@ -132,15 +132,19 @@ object Lineage {
 }
 
 /** spark-submit entry for the full KG job:
-  *   runMain graft.pipeline.KGJob <nPages> <outDir> [resume]
+  *   runMain graft.pipeline.KGJob <nPages> <outDir> [resume] [--flags]
+  * Tuning knobs ([[graft.GraftConfig]] — the reference's
+  * framework/config.py surface) arrive as `--key=value` flags, e.g.
+  * `--merge-threshold=0.97 --name-bands=32 --name-rows=4`.
   * Stage graph with per-stage commit + resume (north rule: resumable
   * from checkpoint with per-partition lineage + metrics).
   */
 object KGJob {
   def main(args: Array[String]): Unit = {
-    val nPages = args.headOption.map(_.toLong).getOrElse(1000L)
-    val outDir = if (args.length > 1) args(1) else "/tmp/graft_kg"
-    val resume = args.contains("resume")
+    val (cfg, positional) = graft.GraftConfig.fromArgs(args.toSeq)
+    val nPages = positional.headOption.map(_.toLong).getOrElse(1000L)
+    val outDir = if (positional.length > 1) positional(1) else "/tmp/graft_kg"
+    val resume = positional.contains("resume")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -158,7 +162,7 @@ object KGJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val result = run(spark, nPages, outDir, resume)
+    val result = run(spark, nPages, outDir, resume, cfg = cfg)
     val sec = (System.nanoTime() - t0) / 1e9
     result.foreach { case (k, v) => println(f"[kg] $k%-10s $v%,d rows") }
     println(f"[kg] wall ${sec}%.1f s")
@@ -167,7 +171,9 @@ object KGJob {
 
   /** Stage-checkpointed pipeline; returns stage -> row count. */
   def run(spark: SparkSession, nPages: Long, outDir: String,
-      resume: Boolean = false, partitions: Int = 32): Seq[(String, Long)] = {
+      resume: Boolean = false, partitions: Int = 32,
+      cfg: graft.GraftConfig = graft.GraftConfig.default)
+      : Seq[(String, Long)] = {
     import spark.implicits._
     val lin = new Lineage(spark, outDir, s"run_$nPages", resume)
 
@@ -194,7 +200,7 @@ object KGJob {
       KGPipeline.eventEdges(events, extracted.eventRels)
     }
     lazy val cano = graft.canon.Canonicalizer.canonicalize(
-      mentions.withColumnRenamed("chunk_id", "chunkId"))
+      mentions.withColumnRenamed("chunk_id", "chunkId"), cfg)
     val entities = lin.stage("entities")(cano._1)
     // requires name_key: a resume over an outDir committed before the
     // name map carried it would otherwise reuse the 2-column table and
@@ -202,7 +208,7 @@ object KGJob {
     val nameMap = lin.stage("name_map", requires = Seq("name_key"))(cano._2)
     val edges = lin.stage("edges") {
       graft.canon.Canonicalizer.rewriteTriples(
-        triples.withColumnRenamed("chunk_id", "chunkId"), nameMap)
+        triples.withColumnRenamed("chunk_id", "chunkId"), nameMap, cfg)
     }
     val participates = lin.stage("participates") {
       events.select(col("event_id"), explode(col("participants")).as("entity_name"))
@@ -211,7 +217,8 @@ object KGJob {
         .distinct()
     }
     val eventSimilar = lin.stage("event_similar") {
-      graft.canon.Canonicalizer.eventKnn(events)
+      graft.canon.Canonicalizer.eventKnn(events,
+        cfg.eventKnnTopK, cfg.eventKnnCutoff)
     }
     Seq(
       "pages" -> pages.count(), "chunks" -> chunks.count(),
