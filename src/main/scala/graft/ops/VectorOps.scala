@@ -106,6 +106,24 @@ object VectorOps {
       lshBucketIndex(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Durable form of the bucket index: written ONCE as a parquet table
+    * PARTITIONED BY `bucket` (<= Tables * 2^BitsPerTable = 4096
+    * partitions). A probe's `bucket IN (<= 16 keys)` then becomes a
+    * planning-time partition filter — the scan touches <= 16 of the
+    * 4096 directories, runs no UDF, and never reads the corpus. This is
+    * the cross-job 100-TB read path: [[lshBucketIndexCached]] amortizes
+    * within a live session, this file layout amortizes across every
+    * later job/session over the same corpus. */
+  def writeLshBucketIndex(spark: SparkSession, sfDir: String,
+      indexDir: String): Unit =
+    lshBucketIndex(spark, sfDir).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(indexDir)
+
+  def readLshBucketIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+
   /** LSH-bucketed top-k for ONE external query vector (the dense
     * retriever's scale path): candidates = vectors sharing any LSH
     * table key with the query (an `isin` over the query's <= nTables

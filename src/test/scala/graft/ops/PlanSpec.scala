@@ -12,6 +12,27 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Collect file scans through AQE wrappers: `AdaptiveSparkPlanExec` and
+    * `QueryStageExec` are leaves to `collect`, so descend explicitly. */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+
+  private def allExprs(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allExprs(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allExprs(s.plan)
+      case op => op.expressions.map(_.toString)
+    }.flatten
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(RelationalOps.topK(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -102,6 +123,39 @@ class PlanSpec extends SparkSpec {
       case other => other.expressions.map(_.toString)
     }.flatten
     assert(!probeExprs.exists(_.contains("UDF")), probeExprs.mkString("\n"))
+  }
+
+  test("durable LSH index probe: partition-pruned scan, no UDF, same top-k") {
+    // the cross-job form of the bucket index: written once partitioned
+    // by bucket, a probe's `bucket IN (<= 16 keys)` must plan as a
+    // PARTITION filter (<= 16 of ~4096 directories read) with no UDF
+    // and no corpus scan, and return exactly the cached-path top-k
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    try {
+      VectorOps.writeLshBucketIndex(spark, sf0001, dir)
+      val qv = graft.retrieval.DenseRetriever.queryVec("spark join vector").toArray
+      val viaIdx = VectorOps.lshTopKForVector(spark, sf0001, qv, 10,
+        index = Some(VectorOps.readLshBucketIndex(spark, dir)))
+      val viaCache = VectorOps.lshTopKForVector(spark, sf0001, qv, 10)
+      assert(viaIdx.collect().toSeq == viaCache.collect().toSeq)
+      val scans = fileScans(viaIdx.queryExecution.executedPlan)
+      assert(scans.nonEmpty, plan(viaIdx))
+      scans.foreach { s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"probe scan has no partition filter:\n$s")
+        assert(s.partitionFilters.exists(_.toString.contains("bucket")),
+          s.partitionFilters.mkString(", "))
+      }
+      // metrics filled by the collect above: the scan must have touched
+      // at most one partition per LSH table
+      val touched = scans.flatMap(_.metrics.get("numPartitions")).map(_.value)
+      assert(touched.nonEmpty && touched.sum <= graft.lsh.HyperplaneLSH.Tables,
+        s"partitions read: $touched")
+      val exprs = allExprs(viaIdx.queryExecution.executedPlan)
+      assert(!exprs.exists(_.contains("UDF")), exprs.mkString("\n"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("dense retrieval scans the precomputed embeddings table with no corpus UDF") {
