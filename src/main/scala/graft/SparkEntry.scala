@@ -28,6 +28,12 @@ object SparkEntry {
       .orderBy(desc("n_sources"), asc("subj_name"), asc("obj_name"))
   }
 
+  /** Same normalization the canonicalizer applies per mention — dumped
+    * alongside each mention so the kg_entities oracle recomputes the
+    * aggregation arithmetic, not the (non-SQL) string normalization. */
+  private val normalizeNameUdf =
+    udf(graft.canon.Canonicalizer.normalizeName _)
+
   /** KG pipeline results cached per scale dir (Verify runs each query
     * separately; the DAG is shared). */
   private val kgCache =
@@ -63,9 +69,14 @@ object SparkEntry {
         "content", "content_hash")),
     // surface rides along so the kg_evidence oracle can recompute the
     // extraction evidence invariant (every surface occurs in its
-    // chunk's normalized content) from the dumps
+    // chunk's normalized content) from the dumps; ord + norm_name ride
+    // along so the kg_entities oracle can recompute the first-writer
+    // (chunkId, ord)-min display name/type and the per-key mention
+    // counts without re-deriving the (non-SQL) name normalization
     "kg_mentions" -> ((s, d) => kg(s, d).mentions
-      .select("chunk_id", "surface", "entityName", "entityType")),
+      .select(col("chunk_id"), col("ord"), col("surface"), col("entityName"),
+        col("entityType"),
+        normalizeNameUdf(col("entityName")).as("norm_name"))),
     "kg_triples" -> ((s, d) => kg(s, d).triples
       .select("chunk_id", "subj", "pred", "obj")),
     "kg_entities" -> ((s, d) => kg(s, d).entities
@@ -113,6 +124,14 @@ object SparkEntry {
         s"_p${ProcessHandle.current().pid()}")),
     "kg_participates" -> ((s, d) => kg(s, d).participates),
     "kg_event_similar" -> ((s, d) => kg(s, d).eventSimilar),
+    // the distinct-content representative embeddings the event KNN
+    // consumed, JSON-encoded to a scalar column (an ARRAY column would
+    // crash the harness's pandas sort — the kg_events round-3 lesson):
+    // the kg_event_similar oracle re-ranks the dumped pairs by exact
+    // cosine over these vectors and re-applies the 0.85 cutoff
+    "kg_event_vecs" -> ((s, d) => graft.canon.Canonicalizer
+      .eventVecs(kg(s, d).events)
+      .select(col("event_id"), to_json(col("emb")).as("vec_json"))),
     "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
       .select("head_id", "tail_id", "relation_type", "n_sources")),
     "kg_integrity" -> ((s, d) => graft.sink.GraphSink.integrity(kg(s, d))),
@@ -758,6 +777,9 @@ object SparkEntry {
           |parts AS (SELECT canonical_id, event_id FROM read_parquet('__OUT__/kg_participates/*.parquet')),
           |ee AS (SELECT head_id, tail_id FROM read_parquet('__OUT__/kg_event_edges/*.parquet')),
           |evsrc AS (SELECT chunk_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |evfull AS (SELECT event_id, chunk_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |er AS (SELECT head_event_id, tail_event_id
+          |       FROM read_parquet('__OUT__/kg_event_rels/*.parquet')),
           |tr AS (SELECT chunk_id FROM read_parquet('__OUT__/kg_triples/*.parquet'))
           |SELECT 'edges_dangling_subj' AS check_name, count(*) AS violations
           |  FROM edges WHERE subj_id NOT IN (SELECT canonical_id FROM ents)
@@ -774,7 +796,13 @@ object SparkEntry {
           |UNION ALL SELECT 'events_dangling_chunk', count(*)
           |  FROM evsrc WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)
           |UNION ALL SELECT 'triples_dangling_chunk', count(*)
-          |  FROM tr WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)""".stripMargin,
+          |  FROM tr WHERE chunk_id NOT IN (SELECT chunk_id FROM chs)
+          |UNION ALL SELECT 'event_rels_dangling_head', count(*)
+          |  FROM er WHERE head_event_id NOT IN (SELECT event_id FROM evs)
+          |UNION ALL SELECT 'event_rels_dangling_tail', count(*)
+          |  FROM er WHERE tail_event_id NOT IN (SELECT event_id FROM evs)
+          |UNION ALL SELECT 'event_id_malformed', count(*)
+          |  FROM evfull WHERE NOT starts_with(event_id, chunk_id || '_event_')""".stripMargin,
       // G5 endpoint rewrite + provenance counts recomputed from the
       // dumped triples joined through the dumped name map: inner joins,
       // self-loop filter, and the salted two-phase n_sources sum must
@@ -814,6 +842,77 @@ object SparkEntry {
           |          USING (canonical_id)
           |        JOIN merged USING (canonical_id)
           |GROUP BY 1, 2""".stripMargin,
+      // the ENTITY TABLE ITSELF recomputed end-to-end from the mention
+      // dump: per-key mention counts, the (chunkId, ord)-min
+      // first-writer display name/type (reference ON CREATE SET,
+      // event_graphrag_neo4j.py:336-360), component membership through
+      // the dumped name map, and the (n_mentions, name_key)-max winner
+      // per component (Base_Neo4j.py:922-950) — closes the last
+      // rows-only gap on the canonicalization OUTPUT side
+      "kg_entities" ->
+        """WITH m AS (SELECT chunk_id, ord, entityType, norm_name,
+          |            lower(norm_name) AS name_key
+          |          FROM read_parquet('__OUT__/kg_mentions/*.parquet')),
+          |per_key AS (SELECT name_key, count(*) AS n FROM m GROUP BY 1),
+          |firstw AS (SELECT name_key, norm_name AS display_name,
+          |             entityType AS entity_type
+          |           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY name_key
+          |                   ORDER BY chunk_id, ord, norm_name, entityType) AS rn
+          |                 FROM m) r WHERE rn = 1),
+          |comp AS (SELECT DISTINCT name_key, canonical_id
+          |         FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
+          |keyrow AS (SELECT comp.canonical_id, per_key.name_key, per_key.n,
+          |             firstw.display_name, firstw.entity_type
+          |           FROM per_key JOIN firstw USING (name_key)
+          |                        JOIN comp USING (name_key)),
+          |win AS (SELECT canonical_id, display_name, entity_type,
+          |          ROW_NUMBER() OVER (PARTITION BY canonical_id
+          |            ORDER BY n DESC, name_key DESC) AS rn
+          |        FROM keyrow)
+          |SELECT k.canonical_id, w.display_name AS entity_name, w.entity_type,
+          |       CAST(sum(k.n) AS BIGINT) AS n_mentions,
+          |       CAST(count(*) AS BIGINT) AS n_merged_names
+          |FROM keyrow k
+          |JOIN (SELECT canonical_id, display_name, entity_type
+          |      FROM win WHERE rn = 1) w USING (canonical_id)
+          |GROUP BY 1, 2, 3""".stripMargin,
+      // the name map itself recomputed from the mention dump: the alias
+      // set per normalized key = DISTINCT raw surfaces (the engine's
+      // rawKeys recovery from aggregated alias sets), keyed by
+      // lower(norm_name); the key->canonical mapping joins through the
+      // dump's own DISTINCT pairs — that mapping's invariants (function
+      // property, CC min-representative, no dangling ids) are pinned
+      // independently by kg_alias_closure
+      "kg_name_map" ->
+        """WITH m AS (SELECT DISTINCT entityName AS entity_name,
+          |            lower(norm_name) AS name_key
+          |          FROM read_parquet('__OUT__/kg_mentions/*.parquet')),
+          |comp AS (SELECT DISTINCT name_key, canonical_id
+          |         FROM read_parquet('__OUT__/kg_name_map/*.parquet'))
+          |SELECT m.entity_name, m.name_key, comp.canonical_id
+          |FROM m JOIN comp USING (name_key)""".stripMargin,
+      // G13 recomputed from dumps: re-rank the emitted SIMILAR_TO pairs
+      // by exact cosine over the dumped representative vectors (float
+      // parse -> double widen -> the engine's exact dot/sqrt(nx*ny)
+      // formula) and re-apply the 0.85 cutoff. The LSH candidate SET is
+      // approximate by design; the threshold and ranking are not.
+      "kg_event_similar" ->
+        """WITH v AS (SELECT event_id,
+          |            list_transform(CAST(vec_json AS FLOAT[]),
+          |                           x -> CAST(x AS DOUBLE)) AS emb
+          |          FROM read_parquet('__OUT__/kg_event_vecs/*.parquet')),
+          |d AS (SELECT src_event, dst_event
+          |      FROM read_parquet('__OUT__/kg_event_similar/*.parquet')),
+          |s AS (SELECT d.src_event, d.dst_event,
+          |        list_dot_product(a.emb, b.emb) /
+          |          sqrt(list_dot_product(a.emb, a.emb) *
+          |               list_dot_product(b.emb, b.emb)) AS cos
+          |      FROM d JOIN v a ON a.event_id = d.src_event
+          |             JOIN v b ON b.event_id = d.dst_event)
+          |SELECT src_event, dst_event,
+          |       CAST(ROW_NUMBER() OVER (PARTITION BY src_event
+          |         ORDER BY cos DESC, dst_event) AS INT) AS rank
+          |FROM s WHERE cos >= 0.85""".stripMargin,
       // alias-closure invariants recomputed from the dumped map /
       // entities / mentions (counts must agree with Spark AND be zero)
       "kg_alias_closure" ->

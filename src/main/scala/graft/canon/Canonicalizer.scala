@@ -307,10 +307,22 @@ object Canonicalizer {
     * come from an equi-join on (table, key), verified by exact cosine,
     * then per-source top-k by window rank. Input: events with
     * (event_id, content); output (src_event, dst_event, rank). */
+  /** Distinct-content representative embeddings for [[eventKnn]]:
+    * exact-duplicate contents collapse to min event_id, each
+    * representative embeds its lowercased content. Public so the
+    * driver can dump the SAME vectors the KNN consumed and the DuckDB
+    * oracle can recompute the similarity ranking from them. */
+  def eventVecs(events: DataFrame): DataFrame = {
+    val embedContentUdf = udf((s: String) => HashingEmbedder.embed(s.toLowerCase))
+    events
+      .groupBy(col("content"))
+      .agg(min(col("event_id")).as("event_id"))
+      .select(col("event_id"), embedContentUdf(col("content")).as("emb"))
+  }
+
   def eventKnn(events: DataFrame,
       topK: Int = graft.GraftConfig.default.eventKnnTopK,
       cutoff: Double = graft.GraftConfig.default.eventKnnCutoff): DataFrame = {
-    val embedContentUdf = udf((s: String) => HashingEmbedder.embed(s.toLowerCase))
     val bucketsUdf = udf((v: Seq[Float]) =>
       graft.lsh.HyperplaneLSH.tableKeys(v.toArray))
     // exact-duplicate contents collapse to one representative (min
@@ -329,11 +341,7 @@ object Canonicalizer {
     // for a frame the caller may never consume (SparkEntry.entry uses
     // only edges/entities); the first action materializes it once for
     // all four plan references
-    val emb = events
-      .groupBy(col("content"))
-      .agg(min(col("event_id")).as("event_id"))
-      .select(col("event_id"), embedContentUdf(col("content")).as("emb"))
-      .localCheckpoint(false)
+    val emb = eventVecs(events).localCheckpoint(false)
     val banded = emb.select(col("event_id"),
       explode(bucketsUdf(col("emb"))).as("bucket"))
     val candPairs = banded.as("a")

@@ -128,7 +128,19 @@ object GraphSink {
       cnt("event_edges_dangling_tail", r.eventEdges.join(
         evs.withColumnRenamed("event_id", "tail_id"), Seq("tail_id"), "left_anti")),
       cnt("events_dangling_chunk", r.events.join(chs, Seq("chunk_id"), "left_anti")),
-      cnt("triples_dangling_chunk", r.triples.join(chs, Seq("chunk_id"), "left_anti"))
+      cnt("triples_dangling_chunk", r.triples.join(chs, Seq("chunk_id"), "left_anti")),
+      // pre-aggregation event relations must reference fired events
+      // (E4 drops unknown endpoints — a dangling id here means the
+      // extractor emitted a relation for an event it never emitted)
+      cnt("event_rels_dangling_head", r.eventRels.join(
+        evs.withColumnRenamed("event_id", "head_event_id"),
+        Seq("head_event_id"), "left_anti")),
+      cnt("event_rels_dangling_tail", r.eventRels.join(
+        evs.withColumnRenamed("event_id", "tail_event_id"),
+        Seq("tail_event_id"), "left_anti")),
+      // G4 identity contract: event_id = chunk_id + "_event_" + ord
+      cnt("event_id_malformed", r.events.filter(
+        !col("event_id").startsWith(concat(col("chunk_id"), lit("_event_")))))
     ).reduce(_.unionByName(_))
   }
 
