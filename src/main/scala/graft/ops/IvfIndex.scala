@@ -122,4 +122,56 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** Durable IVF-flat layout (the cross-job read path, symmetric with
+    * VectorOps.writeLshBucketIndex): the tiny centroid table is a
+    * JSON-encoded sidecar, the assignments are written ONCE partitioned
+    * by `list_id`. A probe then reads its nprobe nearest lists as a
+    * planning-time partition filter — nprobe/nlist of the corpus, no
+    * assignment UDF, no full scan. */
+  def writeIvfIndex(spark: SparkSession, sfDir: String, indexDir: String,
+      nlist: Int = 16): Unit = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val sample = emb
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(nlist * 4)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = chooseCentroids(sample, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestLists(bc.value, v.toArray, 1)(0))
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.mkString("[", ",", "]")) }.toSeq
+      .toDF("centroid_id", "vec_json")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/centroids")
+    emb.select(col("vec_id"), col("embedding"),
+        assignUdf(col("embedding")).as("list_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("list_id")
+      .parquet(s"$indexDir/lists")
+  }
+
+  /** Probe the durable index for ONE external query vector: nearest
+    * nprobe centroids resolve driver-side from the sidecar (nlist rows),
+    * then `list_id IN (...)` prunes the partitioned assignment table at
+    * planning time. Output (doc_id, score), score descending. */
+  def ivfTopKForVector(spark: SparkSession, indexDir: String,
+      qv: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getString(1).stripPrefix("[").stripSuffix("]")
+        .split(',').filter(_.nonEmpty).map(_.toFloat))
+    val probe = nearestLists(centroids, qv, nprobe).toSeq
+    spark.read.parquet(s"$indexDir/lists")
+      .filter(col("list_id").isin(probe: _*))
+      .select(col("vec_id").as("doc_id"),
+        CosineSimilarity(col("embedding"),
+          typedLit(qv.toSeq)).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

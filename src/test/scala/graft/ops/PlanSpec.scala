@@ -138,6 +138,10 @@ class PlanSpec extends SparkSpec {
         index = Some(VectorOps.readLshBucketIndex(spark, dir)))
       val viaCache = VectorOps.lshTopKForVector(spark, sf0001, qv, 10)
       assert(viaIdx.collect().toSeq == viaCache.collect().toSeq)
+      // the retriever surface reaches the same durable index
+      val viaRetriever = graft.retrieval.DenseRetriever.lshRetriever(Some(dir))
+        .retrieve(spark, sf0001, "spark join vector", 10)
+      assert(viaRetriever.collect().toSeq == viaIdx.collect().toSeq)
       val scans = fileScans(viaIdx.queryExecution.executedPlan)
       assert(scans.nonEmpty, plan(viaIdx))
       scans.foreach { s =>
@@ -153,6 +157,37 @@ class PlanSpec extends SparkSpec {
         s"partitions read: $touched")
       val exprs = allExprs(viaIdx.queryExecution.executedPlan)
       assert(!exprs.exists(_.contains("UDF")), exprs.mkString("\n"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("durable IVF index probe: partition-pruned list scan, no UDF, agrees with in-memory path") {
+    // symmetric with the durable LSH index: assignments written once
+    // partitioned by list_id; a probe's `list_id IN (nprobe ids)` must
+    // plan as a partition filter and return the same neighbors as the
+    // in-memory ivfTopK (same deterministic centroids by construction)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    try {
+      IvfIndex.writeIvfIndex(spark, sf0001, dir)
+      val qv = graft.Tables.embeddings(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .collect().head.getSeq[Float](1).toArray
+      val viaIdx = IvfIndex.ivfTopKForVector(spark, dir, qv, k = 11)
+      // the probe includes the query vector itself (cos 1.0); drop it
+      val got = viaIdx.collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSeq
+      val mem = IvfIndex.ivfTopK(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("query_id") === 0L)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      assert(got == mem, s"durable probe $got != in-memory $mem")
+      val scans = fileScans(viaIdx.queryExecution.executedPlan)
+      assert(scans.nonEmpty, plan(viaIdx))
+      scans.foreach { s =>
+        assert(s.partitionFilters.exists(_.toString.contains("list_id")),
+          s"probe scan not partition-pruned on list_id:\n$s")
+      }
+      assert(!allExprs(viaIdx.queryExecution.executedPlan)
+        .exists(_.contains("UDF")), plan(viaIdx))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
