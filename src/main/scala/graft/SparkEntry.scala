@@ -142,6 +142,11 @@ object SparkEntry {
     // the kg_mentions/kg_triples/kg_chunks dumps with the
     // normalization ported to SQL
     "kg_evidence" -> ((s, d) => kgEvidence(s, d)),
+    // id-recipe + referential-integrity invariants: chunk_id/content_hash
+    // are md5-recomputable from the dumped content, event ids follow the
+    // chunkId_event_ord recipe, and every event/event-rel chunk_id
+    // resolves — recomputed by the oracle from the dumps alone
+    "kg_identity" -> ((s, d) => kgIdentity(s, d)),
     // --- relational core (SURVEY.md §2.6) ---
     "q_agg_upsert" -> ((s, d) => graft.ops.RelationalOps.aggUpsert(s, d)),
     "q_agg_pricing" -> ((s, d) => graft.ops.RelationalOps.aggPricing(s, d)),
@@ -290,6 +295,39 @@ object SparkEntry {
         r.triples.join(
           m.select(col("chunk_id"), col("entityName").as("obj")).distinct(),
           Seq("chunk_id", "obj"), "left_anti"))
+    ).reduce(_.unionByName(_))
+  }
+
+  /** Identity-recipe invariants as (check_name, violations) rows — the
+    * Spark side of the kg_identity oracle. Both sides recompute md5
+    * independently of [[graft.pipeline.KGPipeline.md5Hex]] (Spark's
+    * codegen'd `md5` here, DuckDB's `md5` in the oracle), so a green row
+    * proves the dumped ids genuinely follow the reference's recipes
+    * (chunk_id = "chunk_" + md5(content)[:8], Base_Neo4j.py:95-107;
+    * event_id = chunkId + "_event_" + ord,
+    * event_graphrag_neo4j.py:373-396) rather than echoing the engine's
+    * own hash. Dangling checks pin extraction to surviving chunks. */
+  def kgIdentity(s: SparkSession, d: String): DataFrame = {
+    val r = kg(s, d)
+    val chs = r.chunks.toDF()
+    val chunkIds = chs.select("chunk_id").distinct()
+    val ev = r.events.select("event_id", "chunk_id")
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"))
+    Seq(
+      cnt("chunk_id_mismatch", chs.filter(col("chunk_id") =!=
+        concat(lit("chunk_"), substring(md5(col("content")), 1, 8)))),
+      cnt("content_hash_mismatch",
+        chs.filter(col("content_hash") =!= md5(col("content")))),
+      cnt("event_id_malformed", ev.filter(
+        !(col("event_id").startsWith(concat(col("chunk_id"), lit("_event_"))) &&
+          col("event_id").rlike("^chunk_[0-9a-f]{8}_event_[0-9]+$")))),
+      cnt("event_chunk_dangling",
+        ev.join(chunkIds, Seq("chunk_id"), "left_anti")),
+      cnt("event_rel_chunk_dangling",
+        r.eventRels.select("chunk_id")
+          .join(chunkIds, Seq("chunk_id"), "left_anti"))
     ).reduce(_.unionByName(_))
   }
 
@@ -979,6 +1017,27 @@ object SparkEntry {
            |UNION ALL SELECT 'triple_obj_not_mentioned', count(*) FROM t
            |  WHERE NOT EXISTS (SELECT 1 FROM m
            |    WHERE m.chunk_id = t.chunk_id AND m.entityName = t.obj)""".stripMargin,
+      // id recipes + referential integrity recomputed from the dumps
+      // alone (DuckDB's own md5 — independent of the engine's digest)
+      "kg_identity" ->
+        """WITH ch AS (SELECT chunk_id, content, content_hash
+          |            FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
+          |chd AS (SELECT DISTINCT chunk_id FROM ch),
+          |ev AS (SELECT event_id, chunk_id
+          |       FROM read_parquet('__OUT__/kg_events/*.parquet')),
+          |er AS (SELECT chunk_id
+          |       FROM read_parquet('__OUT__/kg_event_rels/*.parquet'))
+          |SELECT 'chunk_id_mismatch' AS check_name, count(*) AS violations
+          |  FROM ch WHERE chunk_id <> 'chunk_' || substr(md5(content), 1, 8)
+          |UNION ALL SELECT 'content_hash_mismatch', count(*) FROM ch
+          |  WHERE content_hash <> md5(content)
+          |UNION ALL SELECT 'event_id_malformed', count(*) FROM ev
+          |  WHERE NOT (starts_with(event_id, chunk_id || '_event_')
+          |         AND regexp_matches(event_id, '^chunk_[0-9a-f]{8}_event_[0-9]+$'))
+          |UNION ALL SELECT 'event_chunk_dangling', count(*) FROM ev
+          |  WHERE chunk_id NOT IN (SELECT chunk_id FROM chd)
+          |UNION ALL SELECT 'event_rel_chunk_dangling', count(*) FROM er
+          |  WHERE chunk_id NOT IN (SELECT chunk_id FROM chd)""".stripMargin,
       // chunker invariants recomputed from the chunk dumps x documents
       "chunk_recursive_check" ->
         chunkCheckOracleSql("chunk_recursive", "[. ]", Some(200)),
