@@ -264,6 +264,25 @@ object SparkEntry {
       .toDF("doc_id", "ord", "chunk")
   }
 
+  /** Appends a `<check>_is_zero` twin row per check carrying the SAME
+    * computed count. The oracle emits a literal 0 for the twin, so the
+    * driver's hash compare is green iff (a) Spark's and DuckDB's
+    * independent recomputations agree (base row) AND (b) the count is
+    * actually zero (twin row). Without (b) the gate would be a pure
+    * divergence detector: a defect both recomputations can see — e.g.
+    * an invented mention surface, or a chunk_id recipe drift that Spark
+    * md5 and DuckDB md5 flag identically — would yield equal nonzero
+    * counts and pass. */
+  private def withZeroAnchor(df: DataFrame): DataFrame =
+    df.unionByName(df.select(
+      concat(col("check_name"), lit("_is_zero")).as("check_name"),
+      col("violations")))
+
+  /** The oracle-side twin rows: one literal-zero row per check name. */
+  private def zeroAnchorSql(names: Seq[String]): String =
+    names.map(n =>
+      s"\nUNION ALL SELECT '${n}_is_zero', CAST(0 AS BIGINT)").mkString
+
   /** Extraction evidence invariants as data rows (check_name,
     * violations) — the Spark side of the kg_evidence oracle:
     *  - every mention surface is a substring of its chunk's NORMALIZED
@@ -295,14 +314,15 @@ object SparkEntry {
         r.triples.join(
           m.select(col("chunk_id"), col("entityName").as("obj")).distinct(),
           Seq("chunk_id", "obj"), "left_anti"))
-    ).reduce(_.unionByName(_))
+    ).reduce(_.unionByName(_)).transform(withZeroAnchor)
   }
 
   /** Identity-recipe invariants as (check_name, violations) rows — the
     * Spark side of the kg_identity oracle. Both sides recompute md5
     * independently of [[graft.pipeline.KGPipeline.md5Hex]] (Spark's
-    * codegen'd `md5` here, DuckDB's `md5` in the oracle), so a green row
-    * proves the dumped ids genuinely follow the reference's recipes
+    * codegen'd `md5` here, DuckDB's `md5` in the oracle), and the
+    * `_is_zero` twin rows ([[withZeroAnchor]]) anchor every count to 0,
+    * so a green dump proves the ids genuinely follow the recipes
     * (chunk_id = "chunk_" + md5(content)[:8], Base_Neo4j.py:95-107;
     * event_id = chunkId + "_event_" + ord,
     * event_graphrag_neo4j.py:373-396) rather than echoing the engine's
@@ -328,7 +348,7 @@ object SparkEntry {
       cnt("event_rel_chunk_dangling",
         r.eventRels.select("chunk_id")
           .join(chunkIds, Seq("chunk_id"), "left_anti"))
-    ).reduce(_.unionByName(_))
+    ).reduce(_.unionByName(_)).transform(withZeroAnchor)
   }
 
   /** [[graft.extract.KnowledgeBase.normalize]] ported to DuckDB SQL:
@@ -371,7 +391,7 @@ object SparkEntry {
       case Some(m) => base :+ cnt("chunk_oversize", agg.filter(col("max_len") > m))
       case None => base
     }
-    all.reduce(_.unionByName(_))
+    all.reduce(_.unionByName(_)).transform(withZeroAnchor)
   }
 
   /** Chunk-check oracle SQL over a dumped chunk table: same four counts
@@ -396,7 +416,9 @@ object SparkEntry {
        |UNION ALL SELECT 'doc_without_chunks', count(*) FROM d
        |  WHERE doc_id NOT IN (SELECT doc_id FROM agg)
        |UNION ALL SELECT 'ord_not_dense', count(*) FROM agg
-       |  WHERE max_ord <> n - 1 OR n_ord <> n$sizeRow""".stripMargin
+       |  WHERE max_ord <> n - 1 OR n_ord <> n$sizeRow""".stripMargin +
+      zeroAnchorSql(Seq("coverage_mismatch", "doc_without_chunks",
+        "ord_not_dense") ++ maxLen.map(_ => "chunk_oversize"))
   }
 
   /** Columnar recompute of the rerank stub scorer: embed the doc text
@@ -523,14 +545,23 @@ object SparkEntry {
     * contract) and require the dumped rank column to match. The
     * candidate set itself is approximate (covered by ann_recall); what
     * this pins is that returned neighbors are genuinely ordered by
-    * their true similarity. */
+    * their true similarity. The FLOAT[] embeddings are widened to
+    * DOUBLE before the dot products (same as the kg_event_similar
+    * oracle): the engine ranked by double-precision cosine, and
+    * float-precision re-ranking could flip near-tied neighbors
+    * (near-duplicate vectors exist by construction — vec_neardup). */
   private def annRankInvariantOracleSql(dump: String): String =
     s"""WITH d AS (SELECT query_id, neighbor_id
        |           FROM read_parquet('__OUT__/$dump/*.parquet')),
+       |v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |      FROM embeddings),
        |s AS (SELECT d.query_id, d.neighbor_id,
-       |        list_cosine_similarity(e.embedding, q.embedding) AS cos
-       |      FROM d JOIN embeddings e ON e.vec_id = d.neighbor_id
-       |             JOIN embeddings q ON q.vec_id = d.query_id)
+       |        list_dot_product(e.emb, q.emb) /
+       |          sqrt(list_dot_product(e.emb, e.emb) *
+       |               list_dot_product(q.emb, q.emb)) AS cos
+       |      FROM d JOIN v e ON e.vec_id = d.neighbor_id
+       |             JOIN v q ON q.vec_id = d.query_id)
        |SELECT query_id,
        |       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |         ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
@@ -999,7 +1030,7 @@ object SparkEntry {
       // survivor by min content_hash (the engine's 8-hex-collision
       // rule), normalization ported to SQL, substring + endpoint checks
       "kg_evidence" ->
-        s"""WITH chs AS (SELECT chunk_id,
+        (s"""WITH chs AS (SELECT chunk_id,
            |               arg_min(content, content_hash) AS content
            |             FROM read_parquet('__OUT__/kg_chunks/*.parquet')
            |             GROUP BY 1),
@@ -1016,11 +1047,13 @@ object SparkEntry {
            |    WHERE m.chunk_id = t.chunk_id AND m.entityName = t.subj)
            |UNION ALL SELECT 'triple_obj_not_mentioned', count(*) FROM t
            |  WHERE NOT EXISTS (SELECT 1 FROM m
-           |    WHERE m.chunk_id = t.chunk_id AND m.entityName = t.obj)""".stripMargin,
+           |    WHERE m.chunk_id = t.chunk_id AND m.entityName = t.obj)""".stripMargin +
+          zeroAnchorSql(Seq("mention_surface_not_in_chunk",
+            "triple_subj_not_mentioned", "triple_obj_not_mentioned"))),
       // id recipes + referential integrity recomputed from the dumps
       // alone (DuckDB's own md5 — independent of the engine's digest)
       "kg_identity" ->
-        """WITH ch AS (SELECT chunk_id, content, content_hash
+        ("""WITH ch AS (SELECT chunk_id, content, content_hash
           |            FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
           |chd AS (SELECT DISTINCT chunk_id FROM ch),
           |ev AS (SELECT event_id, chunk_id
@@ -1037,7 +1070,10 @@ object SparkEntry {
           |UNION ALL SELECT 'event_chunk_dangling', count(*) FROM ev
           |  WHERE chunk_id NOT IN (SELECT chunk_id FROM chd)
           |UNION ALL SELECT 'event_rel_chunk_dangling', count(*) FROM er
-          |  WHERE chunk_id NOT IN (SELECT chunk_id FROM chd)""".stripMargin,
+          |  WHERE chunk_id NOT IN (SELECT chunk_id FROM chd)""".stripMargin +
+          zeroAnchorSql(Seq("chunk_id_mismatch", "content_hash_mismatch",
+            "event_id_malformed", "event_chunk_dangling",
+            "event_rel_chunk_dangling"))),
       // chunker invariants recomputed from the chunk dumps x documents
       "chunk_recursive_check" ->
         chunkCheckOracleSql("chunk_recursive", "[. ]", Some(200)),
