@@ -22,7 +22,8 @@ final class Lineage(
     spark: SparkSession,
     outDir: String,
     runId: String,
-    resume: Boolean) {
+    resume: Boolean,
+    jobFingerprint: String = "") {
 
   // Hadoop FileSystem API, not java.nio: outDir may be any scheme the
   // cluster mounts (hdfs://, s3a://, ...) — a driver-local Files.exists
@@ -38,12 +39,24 @@ final class Lineage(
   // the event-ordinal recipe feeding event_id) — resuming across such
   // a change would join new-recipe ids against old-recipe rows and
   // silently produce empty/missing edges. A stage is only reusable if
-  // its stamp matches Lineage.FormatVersion; the stamp is written AFTER
-  // the parquet commit, so a crash between the two recomputes (safe
-  // direction).
+  // its stamp matches Lineage.FormatVersion PLUS the job fingerprint
+  // (input identity) PLUS the stage's extra fingerprint (its tuning
+  // config, for cfg-dependent stages): without these, `KGJob ... resume
+  // --merge-threshold=0.99` would read every canonicalization stage
+  // back from the 0.95-threshold run and silently ignore the new
+  // flags. The extra fingerprint is PER STAGE so a retuned flag
+  // recomputes only the cfg-dependent tail — the expensive extraction
+  // front (which depends on the input, not the knobs) is still reused;
+  // at 10^12-document scale that reuse is the point of the lineage.
+  // The stamp is written AFTER the parquet commit, so a crash between
+  // the two recomputes (safe direction).
   private def stampPath(path: String) = new Path(path, "_graft_format")
 
-  private def stampMatches(path: String): Boolean = {
+  private def stampValue(extra: String): String =
+    Seq(Lineage.FormatVersion, jobFingerprint, extra)
+      .filter(_.nonEmpty).mkString("|")
+
+  private def stampMatches(path: String, extra: String): Boolean = {
     val p = stampPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) false
@@ -53,7 +66,7 @@ final class Lineage(
         try {
           val out = new java.io.ByteArrayOutputStream()
           org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-          out.toString("UTF-8").trim == Lineage.FormatVersion
+          out.toString("UTF-8").trim == stampValue(extra)
         } finally in.close()
       } catch {
         // any unreadable/corrupt stamp means "unknown version":
@@ -64,11 +77,11 @@ final class Lineage(
       }
   }
 
-  private def writeStamp(path: String): Unit = {
+  private def writeStamp(path: String, extra: String): Unit = {
     val p = stampPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(Lineage.FormatVersion.getBytes("UTF-8")) finally out.close()
+    try out.write(stampValue(extra).getBytes("UTF-8")) finally out.close()
   }
 
   /** Run (or resume) one stage. The returned frame always reads from
@@ -78,11 +91,17 @@ final class Lineage(
     * @param requires columns the committed output must carry to be
     *   reusable: a resume against an outDir written by an older library
     *   version whose stage schema predates them recomputes the stage
-    *   instead of crashing downstream with a missing-column error. */
-  def stage(name: String, requires: Seq[String] = Nil)
+    *   instead of crashing downstream with a missing-column error.
+    * @param fingerprint extra stage identity folded into the format
+    *   stamp — pass the tuning config (its case-class toString) for
+    *   stages whose OUTPUT depends on it, so a resume under different
+    *   flags recomputes them instead of serving the old run's data. */
+  def stage(name: String, requires: Seq[String] = Nil,
+      fingerprint: String = "")
       (compute: => DataFrame): DataFrame = {
     val path = s"$outDir/$name"
-    val reusable = resume && committed(path) && stampMatches(path) &&
+    val reusable = resume && committed(path) &&
+      stampMatches(path, fingerprint) &&
       (requires.isEmpty || {
         try {
           val cols = spark.read.parquet(path).columns.toSet
@@ -92,7 +111,7 @@ final class Lineage(
     if (!reusable) {
       val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(path)
-      writeStamp(path)
+      writeStamp(path, fingerprint)
       val wallMs = (System.nanoTime() - t0) / 1000000L
       val written = spark.read.parquet(path)
       // one lineage row per committed file: these files ARE the next
@@ -129,6 +148,12 @@ object Lineage {
     * recipe; pre-stamp outDirs (round <= 2) have no marker and always
     * recompute. */
   val FormatVersion = "3"
+
+  /** The exact stamp a KGJob.run stage commits (version | nPages
+    * [| cfg]) — for tests that must restore a wiped stamp. */
+  def stampFor(nPages: Long, extra: String = ""): String =
+    Seq(FormatVersion, nPages.toString, extra).filter(_.nonEmpty)
+      .mkString("|")
 }
 
 /** spark-submit entry for the full KG job:
@@ -175,7 +200,15 @@ object KGJob {
       cfg: graft.GraftConfig = graft.GraftConfig.default)
       : Seq[(String, Long)] = {
     import spark.implicits._
-    val lin = new Lineage(spark, outDir, s"run_$nPages", resume)
+    // job fingerprint = input identity (every stage's data depends on
+    // nPages); the cfg-dependent canonicalization tail additionally
+    // stamps the full tuning config (case-class toString is canonical),
+    // so `resume --merge-threshold=0.99` recomputes entities/name_map/
+    // edges/participates/event_similar but still reuses the expensive
+    // extraction front
+    val lin = new Lineage(spark, outDir, s"run_$nPages", resume,
+      jobFingerprint = nPages.toString)
+    val cfgFp = cfg.toString
 
     val pages = lin.stage("pages") {
       PagesGenerator.pages(spark, nPages, partitions).toDF()
@@ -201,22 +234,23 @@ object KGJob {
     }
     lazy val cano = graft.canon.Canonicalizer.canonicalize(
       mentions.withColumnRenamed("chunk_id", "chunkId"), cfg)
-    val entities = lin.stage("entities")(cano._1)
+    val entities = lin.stage("entities", fingerprint = cfgFp)(cano._1)
     // requires name_key: a resume over an outDir committed before the
     // name map carried it would otherwise reuse the 2-column table and
     // break the alias-closure/entity-counts consumers downstream
-    val nameMap = lin.stage("name_map", requires = Seq("name_key"))(cano._2)
-    val edges = lin.stage("edges") {
+    val nameMap = lin.stage("name_map", requires = Seq("name_key"),
+      fingerprint = cfgFp)(cano._2)
+    val edges = lin.stage("edges", fingerprint = cfgFp) {
       graft.canon.Canonicalizer.rewriteTriples(
         triples.withColumnRenamed("chunk_id", "chunkId"), nameMap, cfg)
     }
-    val participates = lin.stage("participates") {
+    val participates = lin.stage("participates", fingerprint = cfgFp) {
       events.select(col("event_id"), explode(col("participants")).as("entity_name"))
         .join(nameMap, "entity_name")
         .select(col("canonical_id"), col("event_id"))
         .distinct()
     }
-    val eventSimilar = lin.stage("event_similar") {
+    val eventSimilar = lin.stage("event_similar", fingerprint = cfgFp) {
       graft.canon.Canonicalizer.eventKnn(events,
         cfg.eventKnnTopK, cfg.eventKnnCutoff)
     }

@@ -176,7 +176,7 @@ class PipelineSpec extends SparkSpec {
     val stampP = new org.apache.hadoop.fs.Path(s"$dir/chunks/_graft_format")
     val stampFs = stampP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stampOut = stampFs.create(stampP, true)
-    try stampOut.write(Lineage.FormatVersion.getBytes("UTF-8"))
+    try stampOut.write(Lineage.stampFor(40).getBytes("UTF-8"))
     finally stampOut.close()
     // a naive resume would reuse the stale schema and crash downstream;
     // the requires guard recomputes it instead
@@ -203,6 +203,29 @@ class PipelineSpec extends SparkSpec {
     assert(metricRows("events") > evBefore,
       "stale-format events stage was reused on resume")
     assert(metricRows("pages") == pgBefore, "unaffected stage was recomputed")
+  }
+
+  test("resume under different tuning flags recomputes only the cfg-dependent tail") {
+    val dir = Files.createTempDirectory("kg_cfgfp").toString
+    KGJob.run(spark, 40, dir, resume = false, partitions = 2)
+    def metricRows(stage: String): Long = spark.read
+      .parquet(s"$dir/_metrics").filter(col("stage") === stage).count()
+    val (entBefore, chBefore) = (metricRows("entities"), metricRows("chunks"))
+    // a resumed run with a retuned canonicalization flag must NOT serve
+    // the old run's entities (the flags would be silently ignored), but
+    // the extraction front is cfg-independent and must be reused
+    KGJob.run(spark, 40, dir, resume = true, partitions = 2,
+      cfg = graft.GraftConfig.default.copy(mergeThreshold = 0.999))
+    assert(metricRows("entities") > entBefore,
+      "resume served entities computed under different flags")
+    assert(metricRows("chunks") == chBefore,
+      "cfg-independent extraction stage was recomputed on a flag change")
+    // and a second resume with the SAME retuned flags reuses everything
+    val entAfter = metricRows("entities")
+    KGJob.run(spark, 40, dir, resume = true, partitions = 2,
+      cfg = graft.GraftConfig.default.copy(mergeThreshold = 0.999))
+    assert(metricRows("entities") == entAfter,
+      "matching-flag resume recomputed the canonicalization tail")
   }
 
   test("canonicalization is a fixpoint: re-canonicalizing representatives is a no-op") {
