@@ -300,13 +300,6 @@ object Canonicalizer {
     (canonical, nameMap)
   }
 
-  /** G13 event disambiguation (reference event_graphrag_neo4j.py:600-673:
-    * GDS KNN topK=10, similarityCutoff=0.85 over event embeddings,
-    * emitting SIMILAR_TO edges): hyperplane-LSH table keys over the
-    * content embedding replace the server-side KNN index — candidates
-    * come from an equi-join on (table, key), verified by exact cosine,
-    * then per-source top-k by window rank. Input: events with
-    * (event_id, content); output (src_event, dst_event, rank). */
   /** Distinct-content representative embeddings for [[eventKnn]]:
     * exact-duplicate contents collapse to min event_id, each
     * representative embeds its lowercased content. Public so the
@@ -320,6 +313,13 @@ object Canonicalizer {
       .select(col("event_id"), embedContentUdf(col("content")).as("emb"))
   }
 
+  /** G13 event disambiguation (reference event_graphrag_neo4j.py:600-673:
+    * GDS KNN topK=10, similarityCutoff=0.85 over event embeddings,
+    * emitting SIMILAR_TO edges): hyperplane-LSH table keys over the
+    * content embedding replace the server-side KNN index — candidates
+    * come from an equi-join on (table, key), verified by exact cosine,
+    * then per-source top-k by window rank. Input: events with
+    * (event_id, content); output (src_event, dst_event, rank). */
   def eventKnn(events: DataFrame,
       topK: Int = graft.GraftConfig.default.eventKnnTopK,
       cutoff: Double = graft.GraftConfig.default.eventKnnCutoff): DataFrame = {
@@ -379,13 +379,13 @@ object Canonicalizer {
     * it the map broadcasts and the (much larger) triple stream never
     * shuffles before the edge aggregate — the same dictionary-broadcast
     * rule the extraction stage uses. ~5M rows ≈ low hundreds of MB. */
-  val BroadcastNameMapMax = 5000000L
+  val BroadcastNameMapMax: Long = graft.GraftConfig.default.broadcastNameMapMax
 
   /** Broadcast cap for the (name_key, embedding ARRAY<FLOAT>[64]) lookup:
     * ~600 B/row with JVM overhead -> 100k rows ≈ 60 MB broadcast. Wide
     * rows get their own byte-derived budget instead of a share of the
     * name-map row cap. */
-  val BroadcastEmbeddingMax = 100000L
+  val BroadcastEmbeddingMax: Long = graft.GraftConfig.default.broadcastEmbeddingMax
 
   def rewriteTriples(triples: DataFrame, nameMap: DataFrame,
       cfg: graft.GraftConfig = graft.GraftConfig.default): DataFrame = {

@@ -80,19 +80,26 @@ object IvfIndex {
       .sortBy(i => (-HashingEmbedder.cosine(centroids(i), v), i))
       .take(n).toArray
 
-  /** IVF-flat top-k for each query vector (vec_id < nQueries),
-    * excluding self. Same output shape as VectorOps.annTopK. */
-  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
-      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-
-    // 1. bounded deterministic sample -> centroids (driver-side, tiny)
+  /** Bounded deterministic sample -> centroids (driver-side, tiny).
+    * The SINGLE quantizer recipe, shared by the in-memory path and the
+    * durable-index writer — they must not drift, or a durable probe
+    * would rank against different lists than the in-memory run the
+    * tests validated. */
+  private def sampleCentroids(emb: DataFrame, nlist: Int): Array[Array[Float]] = {
     val sample = emb
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(nlist * 4)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    val centroids = chooseCentroids(sample, nlist)
+    chooseCentroids(sample, nlist)
+  }
+
+  /** IVF-flat top-k for each query vector (vec_id < nQueries),
+    * excluding self. Same output shape as VectorOps.annTopK. */
+  def ivfTopK(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = sampleCentroids(emb, nlist)
     // empty input => no centroids; without this guard the assign UDF
     // would index nearestLists(...)(0) into an empty array
     if (centroids.isEmpty) {
@@ -133,12 +140,13 @@ object IvfIndex {
       nlist: Int = 16): Unit = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    val sample = emb
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h").limit(nlist * 4)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    val centroids = chooseCentroids(sample, nlist)
+    val centroids = sampleCentroids(emb, nlist)
+    // fail fast rather than write an index whose lists dir has no part
+    // files — a later ivfTopKForVector would die on schema inference,
+    // far from the cause (ivfTopK's empty-input contract is an empty
+    // FRAME, but a durable empty index is just a broken artifact)
+    require(centroids.nonEmpty,
+      s"writeIvfIndex: no embeddings under $sfDir — refusing to write an empty index")
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf((v: Seq[Float]) => nearestLists(bc.value, v.toArray, 1)(0))
     centroids.zipWithIndex

@@ -99,12 +99,35 @@ object VectorOps {
     * access pattern, durable form). Round-3 verdict #2: the default
     * path must never be O(corpus-UDF) per query. */
   private val lshIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
 
   def lshBucketIndexCached(spark: SparkSession, sfDir: String): DataFrame =
-    lshIndexCache.getOrElseUpdate((spark, sfDir),
-      lshBucketIndex(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    lshIndexCache.synchronized {
+      // opportunistic eviction: entries of stopped sessions would pin
+      // the session AND the map entry forever (their cached blocks died
+      // with the executor store, no unpersist needed). synchronized —
+      // not TrieMap.getOrElseUpdate, whose thunk can run twice under a
+      // concurrent first probe, leaking an unreachable persisted copy.
+      lshIndexCache.filterInPlace { case ((s, _), _) =>
+        !s.sparkContext.isStopped
+      }
+      lshIndexCache.getOrElseUpdate((spark, sfDir),
+        lshBucketIndex(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
+  /** Unpersist + drop this session's cached bucket indexes — for a
+    * long-lived driver cycling over many tables (the cache is otherwise
+    * bounded only by the number of distinct tables probed). */
+  def invalidateLshIndexCache(spark: SparkSession): Unit =
+    lshIndexCache.synchronized {
+      lshIndexCache.filterInPlace { case ((s, _), df) =>
+        if (s eq spark) {
+          try df.unpersist() catch { case scala.util.control.NonFatal(_) => }
+          false
+        } else true
+      }
+    }
 
   /** Durable form of the bucket index: written ONCE as a parquet table
     * PARTITIONED BY `bucket` (<= Tables * 2^BitsPerTable = 4096
@@ -294,12 +317,6 @@ object VectorOps {
     } finally exact.unpersist()
   }
 
-  /** MMR re-selection (reference VectorStore_Faiss.py:16-62): fetch the
-    * top `fetchK` candidates for the query vector, then greedily pick k
-    * maximizing lambda*sim(q,d) - (1-lambda)*max sim(d, selected).
-    * Inherently sequential over <= fetchK rows, so the greedy loop runs
-    * on the driver (same as the reference); candidate fetch is
-    * distributed. Deterministic: ties broken by vec_id. */
   /** Candidate fetch shared by [[mmrRerank]] and the dump builders
     * below: top `fetchK` by query cosine, collected to the driver
     * (<= fetchK rows by construction — the same driver-sized loop the
@@ -345,6 +362,12 @@ object VectorOps {
       .toDF("vec_a", "vec_b", "sim")
   }
 
+  /** MMR re-selection (reference VectorStore_Faiss.py:16-62): fetch the
+    * top `fetchK` candidates for the query vector, then greedily pick k
+    * maximizing lambda*sim(q,d) - (1-lambda)*max sim(d, selected).
+    * Inherently sequential over <= fetchK rows, so the greedy loop runs
+    * on the driver (same as the reference); candidate fetch is
+    * distributed. Deterministic: ties broken by vec_id. */
   def mmrRerank(spark: SparkSession, sfDir: String, queryId: Long = 0L,
       k: Int = 10, fetchK: Int = 20, lambdaMult: Double = 0.5): DataFrame = {
     import spark.implicits._

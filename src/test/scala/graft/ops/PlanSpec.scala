@@ -109,20 +109,30 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("bucket"), p)
     // structural: the probe tree itself reads NO file scan (the plan
     // STRING shows one inside the InMemoryRelation's cached-child
-    // printout, which is the build-once cost, not the probe)
-    val probeScans = df.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
+    // printout, which is the build-once cost, not the probe). MUST
+    // descend through the AQE wrapper ([[fileScans]]): a plain
+    // executedPlan.collect sees AdaptiveSparkPlanExec as a leaf and
+    // both asserts below would be vacuously true.
+    val probeScans = fileScans(df.queryExecution.executedPlan)
     assert(probeScans.isEmpty, probeScans.mkString(", "))
     // the UDF may appear inside the InMemoryRelation's CACHED child plan
     // printout; what matters is no UDF executes per probe — assert the
-    // probe's own operators (everything above the cache scan) carry none
-    val probeExprs = df.queryExecution.executedPlan.collect {
-      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        Seq.empty[String]
-      case other => other.expressions.map(_.toString)
-    }.flatten
-    assert(!probeExprs.exists(_.contains("UDF")), probeExprs.mkString("\n"))
+    // probe's own operators (everything above the cache scan) carry
+    // none. Same AQE-aware descent, stopping at the cache scan (its
+    // own attributes are the cached columns, not probe-side exprs).
+    def probeExprs(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          probeExprs(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          probeExprs(s.plan)
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq.empty[String]
+        case other => other.expressions.map(_.toString)
+      }.flatten
+    val exprs = probeExprs(df.queryExecution.executedPlan)
+    assert(exprs.nonEmpty, "probe-plan traversal saw no operators — vacuous")
+    assert(!exprs.exists(_.contains("UDF")), exprs.mkString("\n"))
   }
 
   test("durable LSH index probe: partition-pruned scan, no UDF, same top-k") {
