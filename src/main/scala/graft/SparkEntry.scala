@@ -112,7 +112,8 @@ object SparkEntry {
       .select(col("canonical_id"), lower(col("entity_name")).as("winner_key"),
         col("n_mentions"), col("n_merged_names"))),
     // alias-closure invariants (oracle-recomputed; see GraphSink)
-    "kg_alias_closure" -> ((s, d) => graft.sink.GraphSink.aliasClosure(kg(s, d))),
+    "kg_alias_closure" -> ((s, d) =>
+      withZeroAnchor(graft.sink.GraphSink.aliasClosure(kg(s, d)))),
     // partitioned write path: write nodes/edges via GraphSink.write and
     // count back from the WRITTEN tables; oracle rebuilds each class
     // count from the dumps
@@ -134,7 +135,8 @@ object SparkEntry {
       .select(col("event_id"), to_json(col("emb")).as("vec_json"))),
     "kg_event_edges" -> ((s, d) => kg(s, d).eventEdges
       .select("head_id", "tail_id", "relation_type", "n_sources")),
-    "kg_integrity" -> ((s, d) => graft.sink.GraphSink.integrity(kg(s, d))),
+    "kg_integrity" -> ((s, d) =>
+      withZeroAnchor(graft.sink.GraphSink.integrity(kg(s, d)))),
     // extraction evidence invariants (the last trust-the-ScalaTest gap
     // on the extraction side): every mention surface occurs in its
     // chunk's normalized content, and every triple endpoint appears
@@ -839,7 +841,7 @@ object SparkEntry {
       // graph referential integrity recomputed from the dumped tables:
       // anti-join counts must be zero AND must agree with Spark's
       "kg_integrity" ->
-        """WITH ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
+        ("""WITH ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
           |evs AS (SELECT event_id FROM read_parquet('__OUT__/kg_events/*.parquet')),
           |chs AS (SELECT DISTINCT chunk_id FROM read_parquet('__OUT__/kg_chunks/*.parquet')),
           |edges AS (SELECT subj_id, obj_id FROM read_parquet('__OUT__/kg_edges/*.parquet')),
@@ -871,7 +873,13 @@ object SparkEntry {
           |UNION ALL SELECT 'event_rels_dangling_tail', count(*)
           |  FROM er WHERE tail_event_id NOT IN (SELECT event_id FROM evs)
           |UNION ALL SELECT 'event_id_malformed', count(*)
-          |  FROM evfull WHERE NOT starts_with(event_id, chunk_id || '_event_')""".stripMargin,
+          |  FROM evfull WHERE NOT starts_with(event_id, chunk_id || '_event_')""".stripMargin +
+          zeroAnchorSql(Seq("edges_dangling_subj", "edges_dangling_obj",
+            "participates_dangling_entity", "participates_dangling_event",
+            "event_edges_dangling_head", "event_edges_dangling_tail",
+            "events_dangling_chunk", "triples_dangling_chunk",
+            "event_rels_dangling_head", "event_rels_dangling_tail",
+            "event_id_malformed"))),
       // G5 endpoint rewrite + provenance counts recomputed from the
       // dumped triples joined through the dumped name map: inner joins,
       // self-loop filter, and the salted two-phase n_sources sum must
@@ -985,7 +993,7 @@ object SparkEntry {
       // alias-closure invariants recomputed from the dumped map /
       // entities / mentions (counts must agree with Spark AND be zero)
       "kg_alias_closure" ->
-        """WITH nm AS (SELECT entity_name, name_key, canonical_id
+        ("""WITH nm AS (SELECT entity_name, name_key, canonical_id
           |           FROM read_parquet('__OUT__/kg_name_map/*.parquet')),
           |ents AS (SELECT canonical_id FROM read_parquet('__OUT__/kg_entities/*.parquet')),
           |m AS (SELECT DISTINCT entityName AS entity_name
@@ -1002,7 +1010,10 @@ object SparkEntry {
           |  WHERE canonical_id NOT IN (SELECT canonical_id FROM nm))
           |UNION ALL SELECT 'mention_surface_unmapped', count(*) FROM (
           |  SELECT entity_name FROM m
-          |  WHERE entity_name NOT IN (SELECT entity_name FROM nm))""".stripMargin,
+          |  WHERE entity_name NOT IN (SELECT entity_name FROM nm))""".stripMargin +
+          zeroAnchorSql(Seq("aliases_multi_mapped",
+            "canonical_not_min_member", "namemap_dangling_canonical",
+            "entities_without_alias", "mention_surface_unmapped"))),
       // G6 recomputed from dumps: content-representative resolution
       // (min event_id per content), endpoint joins, provenance count
       "kg_event_edges" ->
