@@ -65,7 +65,7 @@ object Canonicalizer {
     * "{name}: {descriptions}" embed text (Base_Neo4j.py:298). */
   def embedKey(name: String): String =
     name.toLowerCase.filterNot(c =>
-      Character.isWhitespace(c) || "·•:：-—_/\\(),.，。()".indexOf(c) >= 0)
+      Character.isWhitespace(c) || "·•:：-—_/\\(),.，。（）".indexOf(c) >= 0)
 
   private val normalizeNameUdf = udf(normalizeName _)
   private val embedUdf = udf((s: String) => HashingEmbedder.embed(embedKey(s)))
