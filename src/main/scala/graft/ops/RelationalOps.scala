@@ -126,10 +126,16 @@ object RelationalOps {
       .orderBy(desc("n_chars"), asc("doc_id")).limit(50)
       .withColumn("rank", row_number().over(
         Window.orderBy(desc("n_chars"), asc("doc_id"))))
+    // doc_id tie-break on BOTH the cut and the rank: duplicate texts
+    // hash identically (the corpus contains exact-dup groups by
+    // construction), and an md5-only order would make both the top-50
+    // SET and the rank assignment within a tie partition-order-
+    // dependent — intermittent divergence from the deterministic oracle
     val byHash = docs
       .withColumn("h", md5(col("text")))
-      .orderBy(asc("h")).limit(50)
-      .withColumn("rank", row_number().over(Window.orderBy(asc("h"))))
+      .orderBy(asc("h"), asc("doc_id")).limit(50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(asc("h"), asc("doc_id"))))
     byChars.select("doc_id", "rank")
       .unionByName(byHash.select("doc_id", "rank"))
       .groupBy("doc_id")
