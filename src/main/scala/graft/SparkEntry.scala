@@ -34,26 +34,37 @@ object SparkEntry {
   private val normalizeNameUdf =
     udf(graft.canon.Canonicalizer.normalizeName _)
 
-  /** KG pipeline results cached per scale dir (Verify runs each query
-    * separately; the DAG is shared). */
-  private val kgCache =
-    scala.collection.concurrent.TrieMap.empty[String, graft.pipeline.KGPipeline.Result]
+  /** KG pipeline results cached per (session, scale dir) — Verify runs
+    * each query separately; the DAG is shared. Keyed by the SESSION
+    * too, synchronized, and stopped-session entries evicted: a cache
+    * keyed by dir alone would hand a second SparkSession in the same
+    * JVM Datasets bound to the first session's dead SparkContext, and
+    * TrieMap.getOrElseUpdate could build (and persist) the 100k-page
+    * pipeline twice under a concurrent first probe (same discipline as
+    * VectorOps.lshIndexCache). */
+  private val kgCache = scala.collection.mutable
+    .Map.empty[(SparkSession, String), graft.pipeline.KGPipeline.Result]
 
   private def kg(s: SparkSession, d: String): graft.pipeline.KGPipeline.Result =
-    kgCache.getOrElseUpdate(d, {
-      val n = graft.pages.PagesGenerator.countForScale(Tables.scaleOf(d))
-      val r = graft.pipeline.KGPipeline.run(s, n)
-      r.copy(
-        chunks = r.chunks.persist(),
-        mentions = r.mentions.persist(),
-        triples = r.triples.persist(),
-        events = r.events.persist(),
-        entities = r.entities.persist(),
-        nameMap = r.nameMap.persist(),
-        edges = r.edges.persist(),
-        eventEdges = r.eventEdges.persist(),
-        eventRels = r.eventRels.persist())
-    })
+    kgCache.synchronized {
+      kgCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      kgCache.getOrElseUpdate((s, d), {
+        val n = graft.pages.PagesGenerator.countForScale(Tables.scaleOf(d))
+        val r = graft.pipeline.KGPipeline.run(s, n)
+        r.copy(
+          chunks = r.chunks.persist(),
+          mentions = r.mentions.persist(),
+          triples = r.triples.persist(),
+          events = r.events.persist(),
+          entities = r.entities.persist(),
+          nameMap = r.nameMap.persist(),
+          edges = r.edges.persist(),
+          eventEdges = r.eventEdges.persist(),
+          eventRels = r.eventRels.persist())
+      })
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- KG-construction pipeline (north rule; ScalaTest carries the
@@ -706,8 +717,12 @@ object SparkEntry {
            |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df USING (shingle)
            |         WHERE df.df BETWEEN 2 AND 1000),
            |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
-           |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-           |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+           |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |          FROM cands c
+           |          JOIN sh a ON a.doc_id = c.doc_a
+           |          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
            |          GROUP BY 1, 2)
            |SELECT doc_a, doc_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
            |       round(CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter), 6) AS jaccard
@@ -773,7 +788,8 @@ object SparkEntry {
           |  FROM documents WHERE length(trim(text)) > 0),
           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
           |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
-          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |                 (SELECT count(*) FROM toks) /
+          |                   (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
           |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
           |idf0 AS (SELECT tok, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf_raw FROM df),
           |aidf AS (SELECT avg(idf_raw) AS a FROM idf0),
@@ -797,7 +813,8 @@ object SparkEntry {
            |toks AS (SELECT * FROM toks0 WHERE NOT regexp_matches(tok, '^[ \\t\\n\\x0B\\f\\r]$$')),
            |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
            |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM docs) AS n,
-           |                 (SELECT avg(dl) FROM dl) AS avgdl),
+           |                 (SELECT count(*) FROM toks) /
+           |                   (SELECT CAST(count(*) AS DOUBLE) FROM docs) AS avgdl),
            |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
            |idf0 AS (SELECT tok, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf_raw FROM df),
            |aidf AS (SELECT avg(idf_raw) AS a FROM idf0),
@@ -1115,7 +1132,8 @@ object SparkEntry {
           |  FROM documents WHERE length(trim(text)) > 0),
           |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
           |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
-          |                 (SELECT avg(dl) FROM dl) AS avgdl),
+          |                 (SELECT count(*) FROM toks) /
+          |                   (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
           |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
           |idf0 AS (SELECT tok, ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5)) AS idf_raw FROM df),
           |aidf AS (SELECT avg(idf_raw) AS a FROM idf0),

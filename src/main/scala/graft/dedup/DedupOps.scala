@@ -50,14 +50,24 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact pairwise Jaccard over word 3-gram shingles, for pairs sharing
-    * at least one shingle; emits pairs with jaccard >= minJaccard.
+  /** Exact pairwise Jaccard over word 3-gram shingles: candidate pairs
+    * share at least one "rare" shingle (2 <= df <= maxDocFreq), then the
+    * TRUE Jaccard is computed over the FULL shingle sets of each
+    * candidate pair and filtered at minJaccard.
     *
     * Scale notes: the shingle join is the classic "similarity join";
-    * hot shingles (stopword n-grams) are the skew risk, so shingles
-    * occurring in more than `maxDocFreq` docs are dropped (standard
-    * prefix-filter practice — a shingle shared by thousands of docs
-    * carries ~no Jaccard signal but O(df^2) join cost).
+    * hot shingles (stopword n-grams) are the skew risk, so CANDIDATE
+    * GENERATION drops shingles occurring in more than `maxDocFreq` docs
+    * (a shingle shared by thousands of docs carries ~no discriminating
+    * signal but O(df^2) join cost). The VERIFY intersection must then
+    * run over the full sets — counting only rare shingles would both
+    * underestimate jaccard and misrank pairs. Residual candidate-recall
+    * caveat (inherent to any df-capped generation): a qualifying pair
+    * whose EVERY shared shingle is hotter than maxDocFreq is never
+    * generated; at minJaccard 0.25 such a pair needs >= 25% of its
+    * shingles each shared by >1000 docs — pathological boilerplate,
+    * which the exact-dedup pass catches when literal. The df >= 2 side
+    * of the filter is lossless (a df-1 shingle cannot be shared).
     */
   def jaccardPairs(spark: SparkSession, sfDir: String,
       n: Int = 3, minJaccard: Double = 0.25,
@@ -70,11 +80,19 @@ object DedupOps {
         .filter(col("df") <= maxDocFreq && col("df") >= 2)
         .select("shingle"),
       Seq("shingle"))
-    val inter = rare.as("a")
+    val cands = rare.as("a")
       .join(rare.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify over the FULL sets, candidates only: equi-joins
+    // (cands x A-side shingles, then hash-join on (doc_b, shingle))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")

@@ -85,7 +85,11 @@ object BM25Ops {
     try {
       val nDocs = docs.count().toDouble
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val avgdl = dl.agg(avg("dl")).head().getDouble(0)
+      // rank_bm25 semantics: avgdl = total token count / CORPUS size
+      // (BM25Okapi._initialize: num_doc / corpus_size) — averaging over
+      // only docs that produced tokens would inflate avgdl whenever the
+      // corpus contains empty documents (their dl is 0, not absent)
+      val avgdl = toks.count().toDouble / nDocs
 
       val df = toks.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))

@@ -129,7 +129,8 @@ class OpsSpec extends SparkSpec {
     }.toMap
     val n = docs.length.toDouble
     val dls = toks.filter(_._2.nonEmpty).view.mapValues(_.length.toDouble).toMap
-    val avgdl = dls.values.sum / dls.size
+    // rank_bm25: avgdl = total tokens / CORPUS size (incl. empty docs)
+    val avgdl = dls.values.sum / n
     val dfs = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
     val idfRaw = dfs.view.mapValues(df => math.log((n - df + 0.5) / (df + 0.5))).toMap
     val avgIdf = idfRaw.values.sum / idfRaw.size
@@ -169,7 +170,8 @@ class OpsSpec extends SparkSpec {
     val toks = docs.map { case (id, t) => id -> ZhTokenizer.tokenize(t) }.toMap
     val n = docs.length.toDouble
     val dls = toks.view.mapValues(_.length.toDouble).toMap
-    val avgdl = dls.values.sum / dls.size
+    // rank_bm25: avgdl = total tokens / CORPUS size (incl. empty docs)
+    val avgdl = dls.values.sum / n
     val dfs = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
     val idfRaw = dfs.view.mapValues(df => math.log((n - df + 0.5) / (df + 0.5))).toMap
     val avgIdf = idfRaw.values.sum / idfRaw.size
