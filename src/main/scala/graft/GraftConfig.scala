@@ -83,6 +83,23 @@ object GraftConfig {
           throw new IllegalArgumentException(s"bad value for --$k: '$v'")
       }
     }
+    // range validation — fail fast at parse time, not as an executor
+    // crash deep inside an aggregation (the BoundedAgg cap) or a
+    // degenerate banding
+    require(cfg.mergeThreshold > 0 && cfg.mergeThreshold <= 1,
+      s"--merge-threshold must be in (0, 1]: ${cfg.mergeThreshold}")
+    require(cfg.eventKnnCutoff >= -1 && cfg.eventKnnCutoff <= 1,
+      s"--event-knn-cutoff must be a cosine in [-1, 1]: ${cfg.eventKnnCutoff}")
+    for ((n, v) <- Seq("event-knn-topk" -> cfg.eventKnnTopK,
+        "name-bands" -> cfg.nameBands, "name-rows" -> cfg.nameRows,
+        "salts" -> cfg.salts, "list-cap" -> cfg.listCap,
+        "max-band-size" -> cfg.maxBandSize))
+      require(v > 0, s"--$n must be positive: $v")
+    for ((n, v) <- Seq(
+        "broadcast-name-map-max" -> cfg.broadcastNameMapMax,
+        "broadcast-embedding-max" -> cfg.broadcastEmbeddingMax,
+        "cc-local-max" -> cfg.ccLocalSolveMax))
+      require(v >= 0, s"--$n must be non-negative: $v")
     (cfg, rest)
   }
 }

@@ -24,7 +24,10 @@ object BoundedAgg {
     * own sort_array/min use — not Java compareTo, which disagrees for
     * supplementary-plane characters. */
   private def insert(buf: List[String], x: String, cap: Int): List[String] = {
-    if (x == null) buf
+    // cap <= 0 guard: buf.last below would throw on the empty buffer
+    // (flag validation rejects non-positive caps, but an executor-side
+    // crash is the wrong failure mode for a constructor argument)
+    if (x == null || cap <= 0) buf
     else if (buf.lengthCompare(cap) >= 0 &&
       !graft.text.Chars.utf8Lt(x, buf.last)) buf
     else if (buf.contains(x)) buf
