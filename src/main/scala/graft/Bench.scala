@@ -312,8 +312,17 @@ object Bench {
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be visible in the JSON, not masquerade as a
+      // fast success: record -1 and say so on stderr (NonFatal only —
+      // an OOM/linkage error should kill the bench, not be timed)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
