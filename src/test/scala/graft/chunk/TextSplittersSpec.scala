@@ -27,11 +27,20 @@ class TextSplittersSpec extends AnyFunSuite {
     // stride 12: windows [0,16) [12,28) [24,40) ...
     assert(chunks.head == ids.take(16).mkString)
     assert(chunks(1) == ids.slice(12, 28).mkString)
-    // every token id position covered
+    // EVERY window reconstructed exactly — chunk i must be the ids at
+    // [12*i, 12*i+16): an upper bound on chunks.length alone would let
+    // a regression silently drop the final partial window (tail loss).
+    // Emitted starts: s_0 = 0, then s_i iff the previous window did not
+    // reach n (s_{i-1} + 16 < n <=> s_i < n - 4); the finishing window
+    // ends at n, so per-window equality implies full tail coverage.
     val n = ids.length
-    val starts = Iterator.iterate(0)(_ + 12).takeWhile(_ < n).toVector
-    assert(chunks.length <= starts.length)
-    assert(chunks.last.nonEmpty)
+    val starts = Iterator.iterate(0)(_ + 12)
+      .takeWhile(s => s == 0 || s < n - 4).toVector
+    assert(chunks.length == starts.length, s"${chunks.length} vs $starts")
+    starts.zipWithIndex.foreach { case (s, i) =>
+      assert(chunks(i) == ids.slice(s, s + 16).mkString, s"window $i")
+    }
+    assert(starts.last + 16 >= n, "last window does not reach the tail")
   }
 
   test("token windows: short text is one chunk; empty is none") {

@@ -102,6 +102,10 @@ class HtmlToMarkdownSpec extends AnyFunSuite {
       assert(graft.pages.PagesGenerator.fragments.exists(f =>
         normText.contains(normalize(f))), s"page $id lost its fragments")
     }
-    assert(found >= 50)
+    // strictly more hits than the per-page minimum the loop already
+    // guarantees: pages carry MULTIPLE planted fragments on average, so
+    // a converter regression that keeps exactly one surviving fragment
+    // per page trips this even though the loop assert stays green
+    assert(found > 50, s"only $found fragment hits across 50 pages")
   }
 }

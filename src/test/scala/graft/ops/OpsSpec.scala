@@ -135,15 +135,19 @@ class OpsSpec extends SparkSpec {
     val idfRaw = dfs.view.mapValues(df => math.log((n - df + 0.5) / (df + 0.5))).toMap
     val avgIdf = idfRaw.values.sum / idfRaw.size
     val idf = idfRaw.view.mapValues(v => if (v < 0) 0.25 * avgIdf else v).toMap
-    val scores = toks.collect { case (id, ts) if ts.nonEmpty =>
-      val tf = ts.groupBy(identity).view.mapValues(_.length).toMap
-      val s = query.flatMap { t =>
-        tf.get(t).map { f =>
-          idf(t) * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
-        }
-      }.sum
-      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.filter(_._2 != 0.0).toSeq
+    // membership filter = "matched a query term" (what the engine's
+    // inner tok-join keeps), NOT score != 0: a doc whose 6dp-rounded
+    // score lands on 0.000000 is still ranked by the engine
+    val scores = toks.collect {
+      case (id, ts) if ts.nonEmpty && query.exists(ts.contains) =>
+        val tf = ts.groupBy(identity).view.mapValues(_.length).toMap
+        val s = query.flatMap { t =>
+          tf.get(t).map { f =>
+            idf(t) * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
+          }
+        }.sum
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
     val expected = scores.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
     val got = BM25Ops.topK(spark, sf0001).orderBy("rank")
       .collect().map(_.getLong(0)).toSeq
@@ -176,15 +180,17 @@ class OpsSpec extends SparkSpec {
     val idfRaw = dfs.view.mapValues(df => math.log((n - df + 0.5) / (df + 0.5))).toMap
     val avgIdf = idfRaw.values.sum / idfRaw.size
     val idf = idfRaw.view.mapValues(v => if (v < 0) 0.25 * avgIdf else v).toMap
-    val scores = toks.map { case (id, ts) =>
-      val tf = ts.groupBy(identity).view.mapValues(_.length).toMap
-      val s = query.flatMap { t =>
-        tf.get(t).map { f =>
-          idf(t) * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
-        }
-      }.sum
-      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    }.filter(_._2 != 0.0).toSeq
+    // same membership-not-score filter as the en oracle above
+    val scores = toks.collect {
+      case (id, ts) if query.exists(ts.contains) =>
+        val tf = ts.groupBy(identity).view.mapValues(_.length).toMap
+        val s = query.flatMap { t =>
+          tf.get(t).map { f =>
+            idf(t) * f * 2.5 / (f + 1.5 * (1 - 0.75 + 0.75 * dls(id) / avgdl))
+          }
+        }.sum
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
     val expected = scores.sortBy { case (id, s) => (-s, id) }.take(20).map(_._1)
     val got = BM25Ops.topKZh(spark).orderBy("rank")
       .collect().map(_.getLong(0)).toSeq

@@ -107,13 +107,26 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(p.contains("InMemoryTableScan"), p)
     assert(p.toLowerCase.contains("bucket"), p)
-    // structural: the probe tree itself reads NO file scan (the plan
+    // structural: the probe tree itself reads NO source scan (the plan
     // STRING shows one inside the InMemoryRelation's cached-child
     // printout, which is the build-once cost, not the probe). MUST
     // descend through the AQE wrapper ([[fileScans]]): a plain
     // executedPlan.collect sees AdaptiveSparkPlanExec as a leaf and
-    // both asserts below would be vacuously true.
-    val probeScans = fileScans(df.queryExecution.executedPlan)
+    // both asserts below would be vacuously true. Checks BOTH scan
+    // families (v1 FileSourceScanExec AND DSv2 BatchScanExec) so a
+    // datasource-routing change cannot make the assert vacuous again.
+    def sourceScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          sourceScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          sourceScans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+      }.flatten
+    val probeScans = sourceScans(df.queryExecution.executedPlan)
     assert(probeScans.isEmpty, probeScans.mkString(", "))
     // the UDF may appear inside the InMemoryRelation's CACHED child plan
     // printout; what matters is no UDF executes per probe — assert the

@@ -28,6 +28,14 @@ class PipelineSpec extends SparkSpec {
     assert(sortedRows(a.triples) == sortedRows(b.triples))
     assert(sortedRows(a.entities) == sortedRows(b.entities))
     assert(sortedRows(a.edges) == sortedRows(b.edges))
+    // the ordinal-id tables too — events/eventEdges/mentions carry
+    // within-chunk positions, exactly where a partition-order
+    // dependence would first show up
+    assert(sortedRows(a.mentions) == sortedRows(b.mentions))
+    assert(sortedRows(a.events) == sortedRows(b.events))
+    assert(sortedRows(a.eventEdges) == sortedRows(b.eventEdges))
+    assert(sortedRows(a.eventRels) == sortedRows(b.eventRels))
+    assert(sortedRows(a.participates) == sortedRows(b.participates))
   }
 
   test("alias variants merge back into base entities") {
@@ -61,6 +69,9 @@ class PipelineSpec extends SparkSpec {
     val part = Files.createTempDirectory("kg_part").toString
     KGJob.run(spark, 120, full, resume = false, partitions = 4)
     KGJob.run(spark, 120, part, resume = false, partitions = 4)
+    def pagesMetricRows: Long = spark.read.parquet(s"$part/_metrics")
+      .filter(col("stage") === "pages").count()
+    val pagesRowsBefore = pagesMetricRows
     // simulate a kill after "triples": drop all downstream outputs
     Seq("entities", "name_map", "edges").foreach { s =>
       val dir = new java.io.File(s"$part/$s")
@@ -72,11 +83,12 @@ class PipelineSpec extends SparkSpec {
       val b = sortedRows(spark.read.parquet(s"$part/$t"))
       assert(a == b, s"table $t differs after resume")
     }
-    // upstream stages committed exactly once per run (no replays)
-    val m = spark.read.parquet(s"$part/_metrics")
-    val commits = m.filter(col("stage") === "pages")
-      .select(countDistinct(col("committed_at"))).collect()(0).getLong(0)
-    assert(commits == 1L, "resumed run recommitted an upstream stage")
+    // upstream stages committed exactly once (no replays): the metrics
+    // row COUNT for the stage must not grow across the resume —
+    // countDistinct(committed_at) would miss a recommit landing on the
+    // same coarse timestamp
+    assert(pagesMetricRows == pagesRowsBefore,
+      "resumed run recommitted an upstream stage")
   }
 
   test("entity type and display name are first-writer-wins by (chunkId, ord)") {

@@ -8,16 +8,16 @@ class GraphSinkSpec extends SparkSpec {
 
   private lazy val result = KGPipeline.run(spark, 150, partitions = 4)
 
-  test("nodes carry the three labels; edges the five types") {
+  test("nodes carry the three labels; edges exactly the six types") {
     val labels = GraphSink.nodes(result).select("label").distinct()
       .collect().map(_.getString(0)).toSet
     assert(labels == Set("Chunk", "Event", "Entity"))
+    // SET equality, not contains(): losing a union branch in
+    // GraphSink.edges (or emitting an unexpected extra type) must fail
     val types = GraphSink.edges(result).select("edge_type").distinct()
       .collect().map(_.getString(0)).toSet
-    assert(types.contains("CONTAINS"))
-    assert(types.contains("MENTIONS"))
-    assert(types.contains("PARTICIPATES_IN"))
-    assert(types.contains("ENTITY_RELATION"))
+    assert(types == Set("CONTAINS", "MENTIONS", "PARTICIPATES_IN",
+      "ENTITY_RELATION", "SIMILAR_TO", "EVENT_RELATION"), types.toString)
   }
 
   test("edge endpoints resolve to existing nodes (no dangling)") {

@@ -136,8 +136,15 @@ class StreamOpsSpec extends SparkSpec {
         .select(col("window.start"), col("event_type"), col("n"), col("s"))
         .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
-      assert(batch.subsetOf(got ++ batch.filter(_._2 == "late")),
+      // two-sided: (a) every closed window the batch aggregate expects
+      // was appended ("late" is the watermark-advancer, its window never
+      // closes); (b) every appended row matches the batch aggregate
+      // exactly — one-sided subset would let spurious or wrong-window
+      // stream rows pass unnoticed
+      assert(batch.filter(_._2 != "late").subsetOf(got),
         s"closed windows must match batch semantics: got=$got batch=$batch")
+      assert(got.subsetOf(batch),
+        s"stream emitted rows absent from the batch aggregate: got=$got batch=$batch")
       assert(got.exists(_._2 == "click"))
     } finally q.stop()
   }
