@@ -325,7 +325,9 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total sums SUCCESSFUL timings only — folding the -1.0 failure
+    // sentinel in would silently shrink the headline total per failure
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kgJson}""")
     spark.stop()

@@ -100,6 +100,13 @@ object GraftConfig {
         "broadcast-embedding-max" -> cfg.broadcastEmbeddingMax,
         "cc-local-max" -> cfg.ccLocalSolveMax))
       require(v >= 0, s"--$n must be non-negative: $v")
+    // joint constraint: the banding consumes bands x rows minhash
+    // positions out of a NumHashes-long signature — individually-valid
+    // values like 32 x 8 would otherwise pass here and abort executor-
+    // side in bandsUdf hours into the extraction front
+    require(cfg.nameBands * cfg.nameRows <= graft.lsh.MinHasher.NumHashes,
+      s"--name-bands x --name-rows must be <= ${graft.lsh.MinHasher.NumHashes}" +
+        s" signature positions: ${cfg.nameBands} x ${cfg.nameRows}")
     (cfg, rest)
   }
 }

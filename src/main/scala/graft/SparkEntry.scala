@@ -286,10 +286,24 @@ object SparkEntry {
     * an invented mention surface, or a chunk_id recipe drift that Spark
     * md5 and DuckDB md5 flag identically — would yield equal nonzero
     * counts and pass. */
-  private def withZeroAnchor(df: DataFrame): DataFrame =
-    df.unionByName(df.select(
-      concat(col("check_name"), lit("_is_zero")).as("check_name"),
-      col("violations")))
+  private def withZeroAnchor(df: DataFrame): DataFrame = {
+    // collect the handful of (check_name, count) rows ONCE and build
+    // both the base and twin rows locally: a self-union of the lazy df
+    // would execute the whole multi-anti-join check DAG twice per dump
+    val s = df.sparkSession
+    import s.implicits._
+    val rows = df.select(col("check_name"), col("violations"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (rows ++ rows.map { case (n, v) => (n + "_is_zero", v) }).toSeq
+      .toDF("check_name", "violations")
+  }
+
+  /** One (check_name, violations) count row — shared by every invariant
+    * check builder below so the check-row shape cannot drift between
+    * them (and stays aligned with the oracle SQL's SELECT shape). */
+  private def checkCount(name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"))
 
   /** The oracle-side twin rows: one literal-zero row per check name. */
   private def zeroAnchorSql(names: Seq[String]): String =
@@ -313,17 +327,14 @@ object SparkEntry {
       .agg(min_by(col("content"), col("content_hash")).as("content"))
       .select(col("chunk_id"), normUdf(col("content")).as("norm"))
     val m = r.mentions
-    def cnt(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("violations"))
-        .select(lit(name).as("check_name"), col("violations"))
     Seq(
-      cnt("mention_surface_not_in_chunk",
+      checkCount("mention_surface_not_in_chunk",
         m.join(chs, "chunk_id").filter(!col("norm").contains(col("surface")))),
-      cnt("triple_subj_not_mentioned",
+      checkCount("triple_subj_not_mentioned",
         r.triples.join(
           m.select(col("chunk_id"), col("entityName").as("subj")).distinct(),
           Seq("chunk_id", "subj"), "left_anti")),
-      cnt("triple_obj_not_mentioned",
+      checkCount("triple_obj_not_mentioned",
         r.triples.join(
           m.select(col("chunk_id"), col("entityName").as("obj")).distinct(),
           Seq("chunk_id", "obj"), "left_anti"))
@@ -345,20 +356,17 @@ object SparkEntry {
     val chs = r.chunks.toDF()
     val chunkIds = chs.select("chunk_id").distinct()
     val ev = r.events.select("event_id", "chunk_id")
-    def cnt(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("violations"))
-        .select(lit(name).as("check_name"), col("violations"))
     Seq(
-      cnt("chunk_id_mismatch", chs.filter(col("chunk_id") =!=
+      checkCount("chunk_id_mismatch", chs.filter(col("chunk_id") =!=
         concat(lit("chunk_"), substring(md5(col("content")), 1, 8)))),
-      cnt("content_hash_mismatch",
+      checkCount("content_hash_mismatch",
         chs.filter(col("content_hash") =!= md5(col("content")))),
-      cnt("event_id_malformed", ev.filter(
+      checkCount("event_id_malformed", ev.filter(
         !(col("event_id").startsWith(concat(col("chunk_id"), lit("_event_"))) &&
           col("event_id").rlike("^chunk_[0-9a-f]{8}_event_[0-9]+$")))),
-      cnt("event_chunk_dangling",
+      checkCount("event_chunk_dangling",
         ev.join(chunkIds, Seq("chunk_id"), "left_anti")),
-      cnt("event_rel_chunk_dangling",
+      checkCount("event_rel_chunk_dangling",
         r.eventRels.select("chunk_id")
           .join(chunkIds, Seq("chunk_id"), "left_anti"))
     ).reduce(_.unionByName(_)).transform(withZeroAnchor)
@@ -390,18 +398,15 @@ object SparkEntry {
       countDistinct("ord").as("n_ord"),
       max(length(col("chunk"))).as("max_len"))
     val d0 = docs(s, d).select("doc_id", "text")
-    def cnt(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("violations"))
-        .select(lit(name).as("check_name"), col("violations"))
     val base = Seq(
-      cnt("coverage_mismatch", agg.join(d0, "doc_id").filter(
+      checkCount("coverage_mismatch", agg.join(d0, "doc_id").filter(
         regexp_replace(col("joined"), stripClass, "") =!=
           regexp_replace(col("text"), stripClass, ""))),
-      cnt("doc_without_chunks", d0.join(agg, Seq("doc_id"), "left_anti")),
-      cnt("ord_not_dense", agg.filter(
+      checkCount("doc_without_chunks", d0.join(agg, Seq("doc_id"), "left_anti")),
+      checkCount("ord_not_dense", agg.filter(
         col("max_ord") =!= col("n") - 1 || col("n_ord") =!= col("n"))))
     val all = maxLen match {
-      case Some(m) => base :+ cnt("chunk_oversize", agg.filter(col("max_len") > m))
+      case Some(m) => base :+ checkCount("chunk_oversize", agg.filter(col("max_len") > m))
       case None => base
     }
     all.reduce(_.unionByName(_)).transform(withZeroAnchor)

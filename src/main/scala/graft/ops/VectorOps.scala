@@ -322,8 +322,27 @@ object VectorOps {
     * (<= fetchK rows by construction — the same driver-sized loop the
     * reference runs, VectorStore_Faiss.py:16-62). Deterministic:
     * ties broken by vec_id. */
+  /** [[mmrFetch]] results memoized per (session, dir, query, fetchK):
+    * mmr_candidates, mmr_pair_sims and mmrRerank all consume the SAME
+    * <= fetchK-row fetch, and without the memo each Verify query
+    * re-runs the full corpus scan + global top-k sort (same
+    * synchronized / stopped-session-evicting discipline as
+    * lshIndexCache and SparkEntry.kgCache). */
+  private val mmrFetchCache = scala.collection.mutable
+    .Map.empty[(SparkSession, String, Long, Int), Array[(Long, Double, Array[Float])]]
+
   private def mmrFetch(spark: SparkSession, sfDir: String, queryId: Long,
-      fetchK: Int): Array[(Long, Double, Array[Float])] = {
+      fetchK: Int): Array[(Long, Double, Array[Float])] =
+    mmrFetchCache.synchronized {
+      mmrFetchCache.filterInPlace { case ((sess, _, _, _), _) =>
+        !sess.sparkContext.isStopped
+      }
+      mmrFetchCache.getOrElseUpdate((spark, sfDir, queryId, fetchK),
+        mmrFetchUncached(spark, sfDir, queryId, fetchK))
+    }
+
+  private def mmrFetchUncached(spark: SparkSession, sfDir: String,
+      queryId: Long, fetchK: Int): Array[(Long, Double, Array[Float])] = {
     val emb = Tables.embeddings(spark, sfDir)
     val qv = emb.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).toArray
