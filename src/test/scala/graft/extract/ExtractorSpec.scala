@@ -154,4 +154,45 @@ class ExtractorSpec extends AnyFunSuite {
     val b = extractor.extract("c", "u", c)
     assert(a == b)
   }
+
+  test("findCode scanner is equivalent to the code-mention regex") {
+    // the scanner replaced this Pattern in the hot loop (no literal
+    // prefix => the engine probes every position; measured ~50% of
+    // extraction CPU) — the Pattern stays here as the executable spec
+    val re = java.util.regex.Pattern.compile(
+      "(?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5}")
+    def regexFind(s: String, from: Int): Long = {
+      val m = re.matcher(s)
+      if (from <= s.length && m.find(from)) (m.start.toLong << 32) | m.end.toLong
+      else -1L
+    }
+    // adversarial alphabet: prefix letters, separators, digits, CJK,
+    // boundary-ish chars — dense with near-misses and overlaps
+    val alphabet =
+      "KJXHBDZkjxhbdz-._/0123456789aAzZ，。部件型号属于 ".toCharArray
+    val rnd = new scala.util.Random(42)
+    var checked = 0
+    for (len <- Seq(0, 1, 6, 7, 8, 9, 20, 60); _ <- 1 to 400) {
+      val s = new String(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+      // every from-position, not just 0: the extractor re-seeks from
+      // start+1 on boundary rejection, so mid-string resumes must agree
+      var from = 0
+      while (from <= len) {
+        assert(graft.extract.TripleExtractor.findCode(s, from) == regexFind(s, from),
+          s"disagree on ${s.map(c => f"\\u$c%04x").mkString} from=$from")
+        checked += 1
+        from += 1
+      }
+    }
+    // targeted overlap/backtrack cases from the scanner's comment
+    for (s <- Seq("XH.BJ12345", "KJ-1234", "KJ-1234,", "KJXH12345",
+        "kj_abcde", "DZ/12345X", "KJ..12345", "aKJ-12345b", "KJ-12345")) {
+      var from = 0
+      while (from <= s.length) {
+        assert(graft.extract.TripleExtractor.findCode(s, from) == regexFind(s, from), s)
+        from += 1
+      }
+    }
+    assert(checked > 10000)
+  }
 }
