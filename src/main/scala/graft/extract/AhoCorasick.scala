@@ -21,9 +21,15 @@ final class AhoCorasick private (
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i).toLong
+      // single probe per (state, char): getOrElse(-1) folds the old
+      // contains+getOrElse double LongMap lookup into one
       var s = state
-      while (s != 0 && !goto(s).contains(c)) s = fail(s)
-      state = goto(s).getOrElse(c, 0)
+      var nxt = goto(s).getOrElse(c, -1)
+      while (s != 0 && nxt < 0) {
+        s = fail(s)
+        nxt = goto(s).getOrElse(c, -1)
+      }
+      state = if (nxt >= 0) nxt else 0
       if (out(state).nonEmpty) hits ++= out(state)
       i += 1
     }

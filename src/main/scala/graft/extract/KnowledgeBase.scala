@@ -105,24 +105,21 @@ object KnowledgeBase {
     * normalized string wrongly sees 'l' adjacent to 'K'; the offset map
     * lets the caller see the stripped space and treat it as a boundary. */
   def normalizeWithOffsets(s: String): (String, Array[Int]) = {
-    val sb = new StringBuilder(s.length)
+    val buf = new Array[Char](s.length)
     val offs = new Array[Int](s.length)
     var i = 0
     var n = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (!graft.text.Chars.isWs(c)) {
-        sb += (c match {
-          case '（' => '('
-          case '）' => ')'
-          case other => other
-        })
+        buf(n) =
+          if (c == '（') '(' else if (c == '）') ')' else c
         offs(n) = i
         n += 1
       }
       i += 1
     }
-    (sb.toString, java.util.Arrays.copyOf(offs, n))
+    (new String(buf, 0, n), java.util.Arrays.copyOf(offs, n))
   }
 
   /** Load the committed KB resource. */

@@ -31,9 +31,14 @@ object HtmlToMarkdown {
   sealed trait Tok
   /** `selfClose` = element has no close tag (void or XML-style);
     * `literalSlash` = the source spelled a trailing "/" (preserved on
-    * re-serialization so table-embedded content round-trips bytewise). */
-  final case class Open(name: String, attrs: Map[String, String],
-      selfClose: Boolean, literalSlash: Boolean = false) extends Tok
+    * re-serialization so table-embedded content round-trips bytewise).
+    * Attributes stay as the raw source slice and parse lazily: only
+    * `img` handling and table re-serialization ever read them, and the
+    * per-tag regex parse was the tokenizer's hottest allocation. */
+  final case class Open(name: String, attrsRaw: String,
+      selfClose: Boolean, literalSlash: Boolean = false) extends Tok {
+    lazy val attrs: Map[String, String] = parseAttrs(attrsRaw)
+  }
   final case class Close(name: String) extends Tok
   final case class Text(s: String) extends Tok
 
@@ -74,9 +79,9 @@ object HtmlToMarkdown {
             val core = if (selfClose) raw.dropRight(1).trim else raw
             val sp = core.indexWhere(Character.isWhitespace)
             val name = (if (sp < 0) core else core.substring(0, sp)).toLowerCase
-            val attrs = if (sp < 0) Map.empty[String, String] else parseAttrs(core.substring(sp + 1))
+            val attrsRaw = if (sp < 0) "" else core.substring(sp + 1)
             val void = name == "img" || name == "br" || name == "hr" || name == "meta" || name == "link" || name == "input"
-            out += Open(name, attrs, selfClose || void, selfClose)
+            out += Open(name, attrsRaw, selfClose || void, selfClose)
             i = gt + 1
           }
         }
@@ -167,29 +172,37 @@ object HtmlToMarkdown {
     spans.result()
   }
 
-  def score(toks: Vector[Tok]): Double = {
+  def score(toks: Vector[Tok]): Double = score(toks, 0, toks.length)
+
+  /** Range form: candidate spans nest, so scoring them in place (no
+    * per-candidate `slice` copy) keeps selection linear in span bytes. */
+  private def score(toks: Vector[Tok], from: Int, until: Int): Double = {
     var textLen = 0
     var anchorLen = 0
     var commas = 0
     var inAnchor = 0
-    toks.foreach {
-      case Open("a", _, false, _) => inAnchor += 1
-      case Close("a") => if (inAnchor > 0) inAnchor -= 1
-      case Text(t) =>
-        // manual loop: StringOps.count boxes every char via an
-        // unspecialized Char => Boolean (hot path, every text token)
-        val d = decode(t)
-        var j = 0
-        var len = 0
-        while (j < d.length) {
-          val c = d.charAt(j)
-          if (!graft.text.Chars.isWs(c)) len += 1
-          if (c == ',' || c == '，' || c == '、') commas += 1
-          j += 1
-        }
-        textLen += len
-        if (inAnchor > 0) anchorLen += len
-      case _ =>
+    var i = from
+    while (i < until) {
+      toks(i) match {
+        case Open("a", _, false, _) => inAnchor += 1
+        case Close("a") => if (inAnchor > 0) inAnchor -= 1
+        case Text(t) =>
+          // manual loop: StringOps.count boxes every char via an
+          // unspecialized Char => Boolean (hot path, every text token)
+          val d = decode(t)
+          var j = 0
+          var len = 0
+          while (j < d.length) {
+            val c = d.charAt(j)
+            if (!graft.text.Chars.isWs(c)) len += 1
+            if (c == ',' || c == '，' || c == '、') commas += 1
+            j += 1
+          }
+          textLen += len
+          if (inAnchor > 0) anchorLen += len
+        case _ =>
+      }
+      i += 1
     }
     textLen - 3.0 * anchorLen + 2.0 * commas
   }
@@ -200,7 +213,7 @@ object HtmlToMarkdown {
     val cands = candidateSpans(toks)
     if (cands.nonEmpty) {
       val best = cands.maxBy { case (s, e, _) =>
-        (score(toks.slice(s, e)), -s.toDouble)
+        (score(toks, s, e), -s.toDouble)
       }
       toks.slice(best._1, best._2)
     } else {
@@ -214,7 +227,12 @@ object HtmlToMarkdown {
 
   // --- ATX markdown conversion -------------------------------------------
 
-  private val headingRe = "h([1-6])".r
+  /** h1..h6 level, or 0 — the regex-unapply form ran a Pattern match
+    * per open tag in the conversion loop. */
+  @inline private def headingLevel(name: String): Int =
+    if (name.length == 2 && name.charAt(0) == 'h' &&
+      name.charAt(1) >= '1' && name.charAt(1) <= '6') name.charAt(1) - '0'
+    else 0
 
   def convert(toks: Vector[Tok]): String = {
     val blocks = Vector.newBuilder[String]
@@ -268,12 +286,12 @@ object HtmlToMarkdown {
 
     while (i < toks.length) {
       toks(i) match {
-        case o @ Open(name, attrs, selfClose, _) =>
+        case o @ Open(name, _, selfClose, _) =>
           name match {
-            case headingRe(lvl) if !selfClose =>
+            case _ if headingLevel(name) > 0 && !selfClose =>
               flushPara()
               val (t, j) = inner(name, i + 1)
-              blocks += ("#" * lvl.toInt) + " " + collapseWs(t)
+              blocks += ("#" * headingLevel(name)) + " " + collapseWs(t)
               i = j
             case "p" | "blockquote" if !selfClose =>
               flushPara()
@@ -293,8 +311,8 @@ object HtmlToMarkdown {
               i = j
             case "img" =>
               flushPara()
-              val alt = decode(attrs.getOrElse("alt", ""))
-              val src = decode(attrs.getOrElse("src", ""))
+              val alt = decode(o.attrs.getOrElse("alt", ""))
+              val src = decode(o.attrs.getOrElse("src", ""))
               blocks += s"![$alt]($src)"
               i += 1
             case "table" if !selfClose =>

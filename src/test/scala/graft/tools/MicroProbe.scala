@@ -30,6 +30,11 @@ object MicroProbe {
       pages.map(p => graft.html.HtmlToMarkdown(
         new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
     }
+    val htmls = pages.map(p =>
+      new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+    val tokss = t("html.tokenize", 3) { htmls.map(graft.html.HtmlToMarkdown.tokenize) }
+    val bodies = t("html.selectContent", 3) { tokss.map(graft.html.HtmlToMarkdown.selectContent) }
+    t("html.convert", 3) { bodies.map(graft.html.HtmlToMarkdown.convert) }
     val chunks = t("markdownSplit+id", 3) {
       pages.flatMap(p => KGPipeline.chunkPage(p, fromHtml = false))
     }
