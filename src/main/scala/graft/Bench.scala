@@ -276,13 +276,18 @@ object Bench {
       val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       val levels = Seq(n1, n2, cpus).distinct // coincide at low SPARK_GRAFT_CPUS
       val best = scala.collection.mutable.HashMap.empty[Int, (Double, Long, Long, Long)]
-      // 3 reps: the host drifts between quiet and contended windows on
+      // 5 reps: the host drifts between quiet and contended windows on
       // a ~10-minute scale (measured same-binary 8-core spreads of
       // 49.5-74.5 s with ~0 steal — neighbor memory-bandwidth pressure,
       // not CPU); more interleaved reps = more chances that each level
       // lands at least one quiet slot, and min-per-level discards the
-      // contended ones
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      // contended ones. Raised from 3 after a fully-contended window
+      // measured every level 22-39% slow — crucially the slowdown GROWS
+      // with core count (more cores = more bandwidth demand), so
+      // contention biases the N->4N ratio DOWN (0.79 in that window vs
+      // 0.82-0.90 quiet); wider sampling is the honest counter, the
+      // estimator itself is unchanged.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
       for (_ <- 1 to reps; cp <- levels) {
         val r = kgRunForked(cp, pagesDir)
         raw += ((cp, r._1))
