@@ -27,9 +27,14 @@ final case class Section(content: String, header: Header)
 object MarkdownSplitter {
 
   /** Python str.isprintable semantics: false for Cc/Cf/Cs/Co/Cn and
-    * Zl/Zp/Zs — except the ASCII space. */
+    * Zl/Zp/Zs — except the ASCII space. Fast paths cover the two char
+    * classes that dominate the corpus (visible ASCII and CJK Unified
+    * Ideographs, both always printable) before the general
+    * `Character.getType` lookup, which JFR measured at ~4% of
+    * extraction-stage CPU when taken per char. */
   def isPrintable(c: Char): Boolean = {
-    if (c == ' ') true
+    if (c >= ' ' && c <= '~') true // visible ASCII + space (0x7F is Cc, excluded)
+    else if (c >= 0x4E00 && c <= 0x9FFF) true // CJK Unified Ideographs (Lo)
     else Character.getType(c) match {
       case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
            Character.PRIVATE_USE | Character.UNASSIGNED |

@@ -76,26 +76,49 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
   // apply to KB-CONSTANT names, so they are evaluated once here at
   // construction (driver side, pre-broadcast) by dropping dead specs —
   // profiling showed the per-chunk regex evaluation of these constants
-  // was ~15% of extraction CPU.
-  private val entitySpecs: Vector[(KbEntity, Vector[Int])] =
+  // was ~15% of extraction CPU. Evidence/forbid ids are Array[Int] and
+  // the firing checks run over a BitSet: the old Vector[Int].forall over
+  // a mutable.Set[Int] boxed every id per spec per chunk (JFR: boxed
+  // equals + set probes were ~7% of extraction-stage CPU).
+  private val entitySpecs: Vector[(KbEntity, Array[Int])] =
     kb.entities
       .filter(e => EntityFilters.keep(e.name))
-      .map(e => (e, e.evidence.map(patternIndex)))
+      .map(e => (e, e.evidence.map(patternIndex).toArray))
 
-  private val tripleSpecs: Vector[(KbTriple, Vector[Int], Vector[Int])] =
+  private val tripleSpecs: Vector[(KbTriple, Array[Int], Array[Int])] =
     kb.triples
       .filter(t => EntityFilters.keep(t.subj) && EntityFilters.keep(t.obj) &&
         !t.subj.equalsIgnoreCase(t.obj))
       .map(t =>
-        (t, t.evidence.map(patternIndex), t.forbid.map(patternIndex)))
+        (t, t.evidence.map(patternIndex).toArray, t.forbid.map(patternIndex).toArray))
 
-  private val eventSpecs: Vector[(KbEvent, Vector[Int], Vector[Int])] =
+  private val eventSpecs: Vector[(KbEvent, Array[Int], Array[Int])] =
     kb.events.map(e =>
-      (e, e.evidence.map(patternIndex), e.forbid.map(patternIndex)))
+      (e, e.evidence.map(patternIndex).toArray, e.forbid.map(patternIndex).toArray))
 
-  private val eventRelSpecs: Vector[(KbEventRelation, Vector[Int], Vector[Int])] =
+  private val eventRelSpecs: Vector[(KbEventRelation, Array[Int], Array[Int])] =
     kb.eventRelations.map(r =>
-      (r, r.evidence.map(patternIndex), r.forbid.map(patternIndex)))
+      (r, r.evidence.map(patternIndex).toArray, r.forbid.map(patternIndex).toArray))
+
+  /** all ids set (true on empty — Vector.forall semantics). */
+  @inline private def allSet(bits: java.util.BitSet, ids: Array[Int]): Boolean = {
+    var k = 0
+    while (k < ids.length) {
+      if (!bits.get(ids(k))) return false
+      k += 1
+    }
+    true
+  }
+
+  /** any id set (false on empty — Vector.exists semantics). */
+  @inline private def anySet(bits: java.util.BitSet, ids: Array[Int]): Boolean = {
+    var k = 0
+    while (k < ids.length) {
+      if (bits.get(ids(k))) return true
+      k += 1
+    }
+    false
+  }
 
   // ---- open-vocabulary pattern detection ------------------------------
   // A closed gazetteer bounds entity cardinality at dictionary size;
@@ -148,13 +171,13 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
   def extractAll(chunkId: String, url: String, content: String)
       : (Vector[Mention], Vector[Triple], Vector[EventRow], Vector[EventRelRow]) = {
     val (normalized, offs) = KnowledgeBase.normalizeWithOffsets(content)
-    val hits = automaton.matchedIds(normalized)
+    val hits = automaton.matchedBits(normalized)
 
     // E3 gazetteer pass + E5 kill-list + E2 name-keyed dedup
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     val mentions = Vector.newBuilder[Mention]
     entitySpecs.foreach { case (e, ids) =>
-      if (ids.nonEmpty && ids.forall(hits) && seen.add(e.name)) {
+      if (ids.length > 0 && allSet(hits, ids) && seen.add(e.name)) {
         mentions += Mention(chunkId, url, e.evidence.headOption.getOrElse(e.name),
           e.name, e.entityType, e.description)
       }
@@ -195,7 +218,7 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     val seenT = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
     val triples = Vector.newBuilder[Triple]
     tripleSpecs.foreach { case (t, ev, fb) =>
-      val fires = ev.nonEmpty && ev.forall(hits) && !fb.exists(hits)
+      val fires = ev.length > 0 && allSet(hits, ev) && !anySet(hits, fb)
       if (fires && seenT.add((t.subj, t.pred, t.obj))) {
         triples += Triple(chunkId, url, t.subj, t.pred, t.obj, t.description)
       }
@@ -216,7 +239,7 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     val seenE = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val events = Vector.newBuilder[EventRow]
     eventSpecs.foreach { case (e, ev, fb) =>
-      if (ev.nonEmpty && ev.forall(hits) && !fb.exists(hits) &&
+      if (ev.length > 0 && allSet(hits, ev) && !anySet(hits, fb) &&
           !seenE.contains(e.content)) {
         val ord = seenE.size
         seenE.put(e.content, ord)
@@ -233,7 +256,7 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     val eventRels = Vector.newBuilder[EventRelRow]
     eventRelSpecs.foreach { case (r, ev, fb) =>
       (seenE.get(r.headContent), seenE.get(r.tailContent)) match {
-        case (Some(h), Some(t)) if ev.forall(hits) && !fb.exists(hits) &&
+        case (Some(h), Some(t)) if allSet(hits, ev) && !anySet(hits, fb) &&
             seenR.add((h, t, r.relationType)) =>
           eventRels += EventRelRow(chunkId, url, h, t, r.relationType, r.description)
         case _ =>

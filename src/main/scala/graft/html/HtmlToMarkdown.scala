@@ -356,8 +356,28 @@ object HtmlToMarkdown {
 
   /** Whitespace-run collapse without regex (hot path: every text token
     * flows through here). Semantics identical to
-    * `replaceAll("\\s+", " ").strip()`. */
+    * `replaceAll("\\s+", " ").strip()`. Zero-allocation fast path for
+    * the already-clean string (no edge whitespace, no runs, spaces
+    * only) — the common case for CJK text tokens, and JFR measured the
+    * rebuild at ~4% of extraction-stage CPU. */
   def collapseWs(s: String): String = {
+    val n = s.length
+    var i = 0
+    var clean = true
+    var prevWs = true // doubles as the leading-edge check
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (graft.text.Chars.isWs(c)) {
+        if (c != ' ' || prevWs) clean = false else prevWs = true
+      } else prevWs = false
+      i += 1
+    }
+    if (clean && !prevWs) return s // prevWs here = trailing whitespace
+    if (clean && n == 0) return s
+    collapseWsSlow(s)
+  }
+
+  private def collapseWsSlow(s: String): String = {
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0

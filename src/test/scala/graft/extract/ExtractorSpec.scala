@@ -155,6 +155,36 @@ class ExtractorSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("automaton matches equal naive contains over random + KB-derived text") {
+    // oracle for the scan-loop fast paths (root char bitmap, direct
+    // root array, BitSet hits): per-pattern String.contains
+    val kb = graft.extract.KnowledgeBase.load().withAliases
+    val auto = graft.extract.AhoCorasick(kb.patterns)
+    def naive(text: String): Set[Int] =
+      kb.patterns.zipWithIndex
+        .collect { case (p, id) if p.nonEmpty && text.contains(p) => id }.toSet
+    val rnd = new scala.util.Random(7)
+    // fragments of real patterns glued with noise: exercises partial
+    // matches, overlaps, and fail-link walks
+    val pieces = kb.patterns.filter(_.nonEmpty)
+    def randText(): String = {
+      val sb = new StringBuilder
+      for (_ <- 0 to rnd.nextInt(12)) {
+        val p = pieces(rnd.nextInt(pieces.size))
+        val frag = p.substring(0, 1 + rnd.nextInt(p.length))
+        sb ++= (if (rnd.nextBoolean()) frag else p)
+        if (rnd.nextBoolean()) sb ++= "，的X "
+      }
+      sb.toString
+    }
+    for (_ <- 1 to 300) {
+      val t = randText()
+      val got = auto.matchedIds(t).toSet
+      assert(got == naive(t), s"text=$t")
+    }
+    assert(auto.matchedIds("").isEmpty)
+  }
+
   test("findCode scanner is equivalent to the code-mention regex") {
     // the scanner replaced this Pattern in the hot loop (no literal
     // prefix => the engine probes every position; measured ~50% of
