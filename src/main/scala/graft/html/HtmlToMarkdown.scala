@@ -37,7 +37,8 @@ object HtmlToMarkdown {
     * per-tag regex parse was the tokenizer's hottest allocation. */
   final case class Open(name: String, attrsRaw: String,
       selfClose: Boolean, literalSlash: Boolean = false) extends Tok {
-    lazy val attrs: Map[String, String] = parseAttrs(attrsRaw)
+    lazy val attrs: Map[String, String] =
+      if (attrsRaw.isEmpty) Map.empty else parseAttrs(attrsRaw)
   }
   final case class Close(name: String) extends Tok
   final case class Text(s: String) extends Tok
@@ -349,7 +350,10 @@ object HtmlToMarkdown {
   }
 
   private def serializeOpen(o: Open): String = {
-    val attrs = o.attrs.map { case (k, v) => s""" $k="$v"""" }.mkString
+    // attr-less tags (most table-inner cells) never force the lazy parse
+    val attrs =
+      if (o.attrsRaw.isEmpty) ""
+      else o.attrs.map { case (k, v) => s""" $k="$v"""" }.mkString
     val slash = if (o.literalSlash || (o.selfClose && o.name == "img")) "/" else ""
     s"<${o.name}$attrs$slash>"
   }
