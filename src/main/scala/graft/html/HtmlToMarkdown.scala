@@ -360,7 +360,9 @@ object HtmlToMarkdown {
 
   /** Whitespace-run collapse without regex (hot path: every text token
     * flows through here). Semantics identical to
-    * `replaceAll("\\s+", " ").strip()`. Zero-allocation fast path for
+    * `replaceAll("\\p{javaWhitespace}+", " ").strip()` (Chars.isWs ≡
+    * Character.isWhitespace — property-pinned in HtmlToMarkdownSpec).
+    * Zero-allocation fast path for
     * the already-clean string (no edge whitespace, no runs, spaces
     * only) — the common case for CJK text tokens, and JFR measured the
     * rebuild at ~4% of extraction-stage CPU. */

@@ -76,6 +76,22 @@ class HtmlToMarkdownSpec extends AnyFunSuite {
     assert(HtmlToMarkdown(html) == "# W\n\na b c")
   }
 
+  test("collapseWs equals the regex spec (incl. the clean fast path)") {
+    // Chars.isWs ≡ Character.isWhitespace ≡ \p{javaWhitespace}; strip()
+    // trims by the same predicate
+    def spec(s: String): String =
+      s.replaceAll("\\p{javaWhitespace}+", " ").strip()
+    val alphabet = " \t\n 　ab汉 ,".toCharArray
+    val rnd = new scala.util.Random(11)
+    for (len <- Seq(0, 1, 2, 5, 17); _ <- 1 to 400) {
+      val s = new String(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+      assert(HtmlToMarkdown.collapseWs(s) == spec(s),
+        s.map(c => f"\\u$c%04x").mkString)
+    }
+    for (s <- Seq("", " ", "a", "a b", "a  b", " a", "a ", "a\nb", "汉 字"))
+      assert(HtmlToMarkdown.collapseWs(s) == spec(s), s"<$s>")
+  }
+
   test("generator pages round-trip: text column equals html conversion") {
     for (id <- 0L until 20L) {
       val p = graft.pages.PagesGenerator.page(id)
