@@ -86,4 +86,26 @@ class MarkdownSplitterSpec extends AnyFunSuite {
     val expected = (1 to 50).filter(i => i % 7 != 0 && i % 5 != 0).map(i => s"line $i")
     assert(lines == expected)
   }
+
+  test("isPrintable fast paths equal the getType reference over the whole BMP") {
+    // the original getType-only implementation is the executable spec;
+    // the ASCII/CJK fast paths must not change a single char's answer
+    // on the RUNNING JDK's Unicode tables (U+9FFD-U+9FFF are assigned
+    // only from Unicode 14, so they must keep following getType)
+    def reference(c: Char): Boolean =
+      if (c == ' ') true
+      else Character.getType(c) match {
+        case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+             Character.PRIVATE_USE | Character.UNASSIGNED |
+             Character.LINE_SEPARATOR | Character.PARAGRAPH_SEPARATOR |
+             Character.SPACE_SEPARATOR => false
+        case _ => true
+      }
+    var c = 0
+    while (c <= Char.MaxValue) {
+      assert(MarkdownSplitter.isPrintable(c.toChar) == reference(c.toChar),
+        f"U+$c%04X")
+      c += 1
+    }
+  }
 }

@@ -21,7 +21,8 @@ object MicroProbe {
       x
     }
     // warm JIT once through everything
-    val ex = new TripleExtractor(KnowledgeBase.load().withAliases)
+    val kb = KnowledgeBase.load().withAliases
+    val ex = new TripleExtractor(kb)
     pages.take(200).foreach { p =>
       KGPipeline.chunkPage(p).foreach(c => ex.extractAll(c.chunk_id, c.url, c.content))
     }
@@ -48,7 +49,7 @@ object MicroProbe {
     }
     // phase splits inside extractAll, approximated via public pieces:
     // automaton scan alone
-    val auto = graft.extract.AhoCorasick(KnowledgeBase.load().withAliases.patterns)
+    val auto = graft.extract.AhoCorasick(kb.patterns)
     t("automatonScan", 3) { norm.foreach { case (s, _) => auto.matchedIds(s) } }
     val codeRe = java.util.regex.Pattern.compile("(?i:KJ|XH|BJ|DZ)[-._/]?[0-9A-Za-z]{5}")
     val relRe = java.util.regex.Pattern.compile(
