@@ -34,7 +34,11 @@ object MarkdownSplitter {
     * extraction-stage CPU when taken per char. */
   def isPrintable(c: Char): Boolean = {
     if (c >= ' ' && c <= '~') true // visible ASCII + space (0x7F is Cc, excluded)
-    else if (c >= 0x4E00 && c <= 0x9FFF) true // CJK Unified Ideographs (Lo)
+    // CJK Unified Ideographs assigned since Unicode 1.0; the block's
+    // last three codepoints (U+9FFD-U+9FFF, assigned only in Unicode
+    // 14+) fall through to getType so the answer tracks the running
+    // JDK's Unicode version exactly, same as before the fast path
+    else if (c >= 0x4E00 && c <= 0x9FFC) true
     else Character.getType(c) match {
       case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
            Character.PRIVATE_USE | Character.UNASSIGNED |

@@ -160,12 +160,13 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     * does not). */
   private def origBoundaryOk(content: String, offs: Array[Int],
       start: Int, endExcl: Int): Boolean = {
-    def alnum(c: Char): Boolean =
-      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    // same predicate as the scanner's allAlnum — the boundary check and
+    // the match body must agree on what counts as word material
+    import TripleExtractor.isAlnumAscii
     val before = offs(start) - 1
     val after = offs(endExcl - 1) + 1
-    (before < 0 || !alnum(content.charAt(before))) &&
-      (after >= content.length || !alnum(content.charAt(after)))
+    (before < 0 || !isAlnumAscii(content.charAt(before))) &&
+      (after >= content.length || !isAlnumAscii(content.charAt(after)))
   }
 
   def extractAll(chunkId: String, url: String, content: String)
@@ -271,7 +272,7 @@ object TripleExtractor {
   @inline private def foldUp(c: Char): Char =
     if (c >= 'a' && c <= 'z') (c - 32).toChar else c
 
-  @inline private def isAlnumAscii(c: Char): Boolean =
+  @inline private[extract] def isAlnumAscii(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
 
   @inline private def isSep(c: Char): Boolean =

@@ -288,11 +288,12 @@ object HtmlToMarkdown {
     while (i < toks.length) {
       toks(i) match {
         case o @ Open(name, _, selfClose, _) =>
+          val hLvl = headingLevel(name)
           name match {
-            case _ if headingLevel(name) > 0 && !selfClose =>
+            case _ if hLvl > 0 && !selfClose =>
               flushPara()
               val (t, j) = inner(name, i + 1)
-              blocks += ("#" * headingLevel(name)) + " " + collapseWs(t)
+              blocks += ("#" * hLvl) + " " + collapseWs(t)
               i = j
             case "p" | "blockquote" if !selfClose =>
               flushPara()
