@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_KG_PAGES (scaling input size; default
   * derived from the scale dir, capped), SPARK_GRAFT_SCALING=0 to skip
-  * the scaling pair during quick local iteration.
+  * the scaling pair during quick local iteration,
+  * SPARK_GRAFT_BENCH_REPS (interleaved rep-set count, default 5) and
+  * SPARK_GRAFT_BENCH_BUDGET_S (rep-loop wall budget gating sets 4+,
+  * default 2100 s).
   */
 object Bench {
 
@@ -288,10 +291,30 @@ object Bench {
       // 0.82-0.90 quiet); wider sampling is the honest counter, the
       // estimator itself is unchanged.
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-      for (_ <- 1 to reps; cp <- levels) {
-        val r = kgRunForked(cp, pagesDir)
-        raw += ((cp, r._1))
-        if (!best.contains(cp) || r._1 < best(cp)._1) best(cp) = r
+      // Wall budget for the rep loop: sets beyond the 3rd (the round-3
+      // methodology floor) only start while the projected loop total
+      // stays under SPARK_GRAFT_BENCH_BUDGET_S. The extra quiet-window
+      // sampling that motivated 5 reps must never push the whole bench
+      // past an external harness timeout — in a contended window (sets
+      // ~2x slower) the loop settles back to the old 3-set behavior.
+      val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2100").toDouble
+      val loopT0 = System.nanoTime()
+      var set = 0
+      var continueSets = true
+      while (continueSets && set < reps) {
+        set += 1
+        for (cp <- levels) {
+          val r = kgRunForked(cp, pagesDir)
+          raw += ((cp, r._1))
+          if (!best.contains(cp) || r._1 < best(cp)._1) best(cp) = r
+        }
+        val elapsed = (System.nanoTime() - loopT0) / 1e9
+        val perSet = elapsed / set
+        continueSets = set < 3 || elapsed + perSet <= budgetS
+        if (!continueSets && set < reps)
+          System.err.println(f"[bench] stopping after $set rep sets: " +
+            f"$elapsed%.0f s elapsed + ~$perSet%.0f s/set would exceed " +
+            f"the $budgetS%.0f s budget")
       }
       val (t1, _, _, _) = best(n1)
       val (t2, _, _, _) = best(n2)
