@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Pipeline configuration for the kg_* query family — settable from
+    * the Verify/Bench CLI (`--merge-threshold=0.9` etc., parsed by
+    * [[GraftConfig.fromArgs]]) so the typed config surface reaches the
+    * driver-graded queries, not only KGJob. The queries map's
+    * `(SparkSession, String) => DataFrame` signature is fixed by the
+    * driver contract, hence a field rather than a parameter. */
+  @volatile var config: GraftConfig = GraftConfig.default
+
   /** Flagship: the full KG-construction DAG (SURVEY.md §7.2) on a small
     * synthetic pages table — canonical edges with entity names and
     * provenance counts. Driver smoke-checks rows>0. */
@@ -43,16 +51,19 @@ object SparkEntry {
     * pipeline twice under a concurrent first probe (same discipline as
     * VectorOps.lshIndexCache). */
   private val kgCache = scala.collection.mutable
-    .Map.empty[(SparkSession, String), graft.pipeline.KGPipeline.Result]
+    .Map.empty[(SparkSession, String, GraftConfig), graft.pipeline.KGPipeline.Result]
 
   private def kg(s: SparkSession, d: String): graft.pipeline.KGPipeline.Result =
     kgCache.synchronized {
-      kgCache.filterInPlace { case ((sess, _), _) =>
+      kgCache.filterInPlace { case ((sess, _, _), _) =>
         !sess.sparkContext.isStopped
       }
-      kgCache.getOrElseUpdate((s, d), {
+      // config participates in the key: a CLI-flagged Verify run must
+      // never reuse a pipeline built under different knobs
+      val cfg = config
+      kgCache.getOrElseUpdate((s, d, cfg), {
         val n = graft.pages.PagesGenerator.countForScale(Tables.scaleOf(d))
-        val r = graft.pipeline.KGPipeline.run(s, n)
+        val r = graft.pipeline.KGPipeline.run(s, n, cfg = cfg)
         r.copy(
           chunks = r.chunks.persist(),
           mentions = r.mentions.persist(),
@@ -160,6 +171,11 @@ object SparkEntry {
     // chunkId_event_ord recipe, and every event/event-rel chunk_id
     // resolves — recomputed by the oracle from the dumps alone
     "kg_identity" -> ((s, d) => kgIdentity(s, d)),
+    // the north-rule P/R>=0.95 acceptance gate, driver-graded: gold +
+    // extracted triples per golden-fixture chunk (scalar rows; the
+    // oracle recomputes tp/fp/fn and the gates from this dump)
+    "kg_pr_triples" -> ((s, _) => kgPrTriples(s)),
+    "kg_pr_fixture" -> ((s, _) => kgPrFixture(s)),
     // --- relational core (SURVEY.md §2.6) ---
     "q_agg_upsert" -> ((s, d) => graft.ops.RelationalOps.aggUpsert(s, d)),
     "q_agg_pricing" -> ((s, d) => graft.ops.RelationalOps.aggPricing(s, d)),
@@ -184,6 +200,14 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => graft.ops.VectorOps.annTopK(s, d)),
     "ann_topk_lsh" -> ((s, d) => graft.ops.VectorOps.annTopKLsh(s, d)),
     "ann_topk_ivf" -> ((s, d) => graft.ops.IvfIndex.ivfTopK(s, d)),
+    // durable-index serving paths: write the partitioned index once,
+    // probe via planning-time partition pruning — the cross-job 100-TB
+    // read shape, here MEASURED (bench per-query block) and
+    // rank-oracled, not only plan-asserted
+    "ann_topk_lsh_durable" ->
+      ((s, d) => graft.ops.VectorOps.annTopKLshDurable(s, d)),
+    "ann_topk_ivf_durable" ->
+      ((s, d) => graft.ops.IvfIndex.ivfTopKDurable(s, d)),
     "ann_recall" -> ((s, d) => graft.ops.VectorOps.annRecall(s, d)),
     "vec_neardup" -> ((s, d) => graft.ops.VectorOps.nearDupPairs(s, d)),
     "mmr_rerank" -> ((s, d) => graft.ops.VectorOps.mmrRerank(s, d)),
@@ -239,6 +263,11 @@ object SparkEntry {
       t => graft.chunk.TextSplitters.recursiveSplit(t, 200, 0, List(". ", " ")))),
     "chunk_semantic" -> ((s, d) => chunkQuery(s, d,
       t => graft.chunk.TextSplitters.semanticSplit(t))),
+    // C4 number_of_chunks variant: threshold = percentile interpolated
+    // from the target chunk count (spliter.py:434-452)
+    "chunk_semantic_n" -> ((s, d) => chunkQuery(s, d,
+      t => graft.chunk.TextSplitters.semanticSplit(t,
+        numberOfChunks = Some(5)))),
     // chunker invariants, DuckDB-recomputed from the dumps above:
     // C3 drops only separator chars (". " / " "), so stripping [. ]
     // from the ord-ordered concatenation must reproduce the stripped
@@ -250,6 +279,23 @@ object SparkEntry {
     "chunk_semantic_check" -> ((s, d) => chunkCoverageCheck(s, d,
       t => graft.chunk.TextSplitters.semanticSplit(t),
       "[ \\t\\n\\x0B\\f\\r]", maxLen = None)),
+    "chunk_semantic_n_check" -> ((s, d) => chunkCoverageCheck(s, d,
+      t => graft.chunk.TextSplitters.semanticSplit(t,
+        numberOfChunks = Some(5)),
+      "[ \\t\\n\\x0B\\f\\r]", maxLen = None)),
+    // --- streaming (stream≡batch, driver-graded) ---
+    // consolidated triples from a fixed overlap-replay through the
+    // Structured Streaming front; the oracle compares against the
+    // pure-batch extraction dump below over the SAME pages
+    "stream_consolidate" -> ((s, _) =>
+      graft.streaming.StreamOps.replayConsolidatedTriples(s)
+        .select("chunk_id", "subj", "pred", "obj", "description")),
+    "stream_batch_expected" -> ((s, _) => {
+      val pages = graft.pages.PagesGenerator.pages(s, 400L, 8)
+      graft.pipeline.KGPipeline
+        .extract(s, graft.pipeline.KGPipeline.chunk(pages))
+        .triples.select("chunk_id", "subj", "pred", "obj", "description")
+    }),
     // --- multimodal plumbing ---
     "mm_decode_meta" -> ((s, d) => graft.mm.MultimodalOps.decodeMeta(s, d)),
     // --- time-window aggregation over the events table ---
@@ -370,6 +416,80 @@ object SparkEntry {
         r.eventRels.select("chunk_id")
           .join(chunkIds, Seq("chunk_id"), "left_anti"))
     ).reduce(_.unionByName(_)).transform(withZeroAnchor)
+  }
+
+  /** The reference's golden extraction fixture
+    * (examples/graph_extract/temp_extracted_batch_1.json: per-chunk
+    * content + expected entity_relations), shipped as a main resource
+    * so the north-rule P/R gate is driver-gradable, not ScalaTest-only
+    * (round-4 verdict #6). Parsed once: (chunk index, content, gold
+    * triple set). */
+  private lazy val prFixture: Vector[(Int, String, Set[(String, String, String)])] = {
+    val in = getClass.getResourceAsStream("/graph_extract_fixture.json")
+    require(in != null, "graph_extract_fixture.json missing from classpath")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+    in.close()
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.zipWithIndex.map { case (item, i) =>
+      val gold = item.get("metadata").get("entity_relations")
+        .elements().asScala.map { r =>
+          (r.get("head_id").asText(), r.get("relation_type").asText(),
+            r.get("tail_id").asText())
+        }.toSet
+      (i, item.get("content").asText(), gold)
+    }.toVector
+  }
+
+  /** Fixture extraction — same construction as ExtractorSpec (plain
+    * KnowledgeBase, no alias expansion) so the driver-graded gate and
+    * the ScalaTest gate measure the identical extractor. Driver-side:
+    * the fixture is a handful of chunks by definition. */
+  private lazy val prExtracted: Vector[(Int, Set[(String, String, String)])] = {
+    val ex = new graft.extract.TripleExtractor(
+      graft.extract.KnowledgeBase.load())
+    prFixture.map { case (i, content, _) =>
+      (i, ex.extract(s"chunk_$i", s"fixture://$i", content)._2
+        .map(t => (t.subj, t.pred, t.obj)).toSet)
+    }
+  }
+
+  /** (chunk, side, subj, pred, obj) rows — gold vs extracted triple
+    * sets per fixture chunk, the scalar dump the kg_pr_fixture oracle
+    * recomputes P/R from. */
+  def kgPrTriples(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val gold = prFixture.flatMap { case (i, _, g) =>
+      g.map(t => (i, "gold", t._1, t._2, t._3)) }
+    val got = prExtracted.flatMap { case (i, g) =>
+      g.map(t => (i, "got", t._1, t._2, t._3)) }
+    (gold ++ got).toDF("chunk", "side", "subj", "pred", "obj")
+  }
+
+  /** Micro-averaged P/R over the fixture as (check_name, violations)
+    * rows: tp/fp/fn counts (the oracle recomputes them from the
+    * kg_pr_triples dump — both engines must agree) and the two >= 0.95
+    * gates, zero-anchored so a quality regression breaks the row, not
+    * just shifts a number. */
+  def kgPrFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    var tp = 0L; var fp = 0L; var fn = 0L
+    val goldByChunk = prFixture.map { case (i, _, g) => i -> g }.toMap
+    prExtracted.foreach { case (i, got) =>
+      val gold = goldByChunk(i)
+      tp += (gold & got).size
+      fp += (got -- gold).size
+      fn += (gold -- got).size
+    }
+    val p = tp.toDouble / math.max(tp + fp, 1L)
+    val r = tp.toDouble / math.max(tp + fn, 1L)
+    val pBad = if (p >= 0.95) 0L else 1L
+    val rBad = if (r >= 0.95) 0L else 1L
+    Seq(
+      ("tp", tp), ("fp", fp), ("fn", fn),
+      ("precision_below_gate", pBad), ("recall_below_gate", rBad),
+      ("precision_below_gate_is_zero", pBad),
+      ("recall_below_gate_is_zero", rBad)
+    ).toDF("check_name", "violations")
   }
 
   /** [[graft.extract.KnowledgeBase.normalize]] ported to DuckDB SQL:
@@ -783,6 +903,10 @@ object SparkEntry {
       // the dump must reproduce the dumped rank column exactly.
       "ann_topk_lsh" -> annRankInvariantOracleSql("ann_topk_lsh"),
       "ann_topk_ivf" -> annRankInvariantOracleSql("ann_topk_ivf"),
+      "ann_topk_lsh_durable" ->
+        annRankInvariantOracleSql("ann_topk_lsh_durable"),
+      "ann_topk_ivf_durable" ->
+        annRankInvariantOracleSql("ann_topk_ivf_durable"),
       "vec_neardup" ->
         """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1107,11 +1231,40 @@ object SparkEntry {
           zeroAnchorSql(Seq("chunk_id_mismatch", "content_hash_mismatch",
             "event_id_malformed", "event_chunk_dangling",
             "event_rel_chunk_dangling"))),
+      // north-rule P/R gate recomputed from the gold/got triple dump:
+      // tp/fp/fn via set joins, the 0.95 gates as zero-anchored rows
+      "kg_pr_fixture" ->
+        """WITH d AS (SELECT DISTINCT chunk, side, subj, pred, obj
+          |           FROM read_parquet('__OUT__/kg_pr_triples/*.parquet')),
+          |gold AS (SELECT chunk, subj, pred, obj FROM d WHERE side = 'gold'),
+          |got AS (SELECT chunk, subj, pred, obj FROM d WHERE side = 'got'),
+          |c AS (SELECT
+          |  (SELECT count(*) FROM gold JOIN got USING (chunk, subj, pred, obj)) AS tp,
+          |  (SELECT count(*) FROM got WHERE NOT EXISTS (SELECT 1 FROM gold
+          |     WHERE gold.chunk = got.chunk AND gold.subj = got.subj
+          |       AND gold.pred = got.pred AND gold.obj = got.obj)) AS fp,
+          |  (SELECT count(*) FROM gold WHERE NOT EXISTS (SELECT 1 FROM got
+          |     WHERE gold.chunk = got.chunk AND gold.subj = got.subj
+          |       AND gold.pred = got.pred AND gold.obj = got.obj)) AS fn),
+          |g AS (SELECT tp, fp, fn,
+          |  CASE WHEN CAST(tp AS DOUBLE) / greatest(tp + fp, 1) >= 0.95
+          |       THEN 0 ELSE 1 END AS p_bad,
+          |  CASE WHEN CAST(tp AS DOUBLE) / greatest(tp + fn, 1) >= 0.95
+          |       THEN 0 ELSE 1 END AS r_bad FROM c)
+          |SELECT 'tp' AS check_name, CAST(tp AS BIGINT) AS violations FROM g
+          |UNION ALL SELECT 'fp', CAST(fp AS BIGINT) FROM g
+          |UNION ALL SELECT 'fn', CAST(fn AS BIGINT) FROM g
+          |UNION ALL SELECT 'precision_below_gate', CAST(p_bad AS BIGINT) FROM g
+          |UNION ALL SELECT 'recall_below_gate', CAST(r_bad AS BIGINT) FROM g
+          |UNION ALL SELECT 'precision_below_gate_is_zero', CAST(0 AS BIGINT)
+          |UNION ALL SELECT 'recall_below_gate_is_zero', CAST(0 AS BIGINT)""".stripMargin,
       // chunker invariants recomputed from the chunk dumps x documents
       "chunk_recursive_check" ->
         chunkCheckOracleSql("chunk_recursive", "[. ]", Some(200)),
       "chunk_semantic_check" ->
         chunkCheckOracleSql("chunk_semantic", "[ \\t\\n\\x0B\\f\\r]", None),
+      "chunk_semantic_n_check" ->
+        chunkCheckOracleSql("chunk_semantic_n", "[ \\t\\n\\x0B\\f\\r]", None),
       // greedy MMR selection re-run step by step in SQL over the dumped
       // candidate/pairwise similarities
       "mmr_rerank" -> mmrOracleSql(10),
@@ -1121,6 +1274,12 @@ object SparkEntry {
         """SELECT doc_id, round(expected_score, 6) AS rerank_score
           |FROM read_parquet('__OUT__/rerank_expected/*.parquet')
           |ORDER BY expected_score DESC, doc_id LIMIT 10""".stripMargin,
+      // stream≡batch: the streamed+consolidated triple table must be
+      // row-identical to the pure-batch extraction over the same pages
+      // (both dumped; the oracle simply reads the batch side)
+      "stream_consolidate" ->
+        """SELECT chunk_id, subj, pred, obj, description
+          |FROM read_parquet('__OUT__/stream_batch_expected/*.parquet')""".stripMargin,
       // in-memory stats must agree with the same dump recomputation the
       // written-table stats use
       "kg_stats" -> kgStatsOracleSql,

@@ -2,10 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Accepts
+  * GraftConfig `--key=value` flags anywhere in argv (e.g.
+  * `--merge-threshold=0.9 /root/testdata/sf0.01 /tmp/out`) — forwarded
+  * into the SparkEntry pipeline config. */
 object Verify {
+  /** Parse CLI args: GraftConfig flags are applied to
+    * [[SparkEntry.config]], positionals return as (sfDir, outDir).
+    * Factored out of main so the CLI→pipeline wiring is testable
+    * without running the full dump. */
+  def configure(args: Array[String]): (String, String) = {
+    val (cfg, rest) = GraftConfig.fromArgs(args.toSeq)
+    SparkEntry.config = cfg
+    require(rest.length == 2,
+      s"usage: Verify [--graft-flags] <sfDir> <outDir>; got $rest")
+    (rest(0), rest(1))
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = configure(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

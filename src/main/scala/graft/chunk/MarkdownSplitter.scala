@@ -34,11 +34,14 @@ object MarkdownSplitter {
     * extraction-stage CPU when taken per char. */
   def isPrintable(c: Char): Boolean = {
     if (c >= ' ' && c <= '~') true // visible ASCII + space (0x7F is Cc, excluded)
-    // CJK Unified Ideographs assigned since Unicode 1.0; the block's
-    // last three codepoints (U+9FFD-U+9FFF, assigned only in Unicode
-    // 14+) fall through to getType so the answer tracks the running
-    // JDK's Unicode version exactly, same as before the fast path
-    else if (c >= 0x4E00 && c <= 0x9FFC) true
+    // CJK Unified Ideographs U+4E00-U+9FA5: assigned since Unicode 1.0,
+    // so always-printable on EVERY JDK. The block tail U+9FA6-U+9FFF
+    // (added Unicode 4.1-14.0) falls through to getType so the answer
+    // tracks the running JDK's Unicode tables exactly — a wider
+    // hardcoded bound would diverge from getType on pre-JDK-15 runtimes
+    // (round-4 ADVICE). The tail is rare in real text; the fast path
+    // still covers the whole working CJK range.
+    else if (c >= 0x4E00 && c <= 0x9FA5) true
     else Character.getType(c) match {
       case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
            Character.PRIVATE_USE | Character.UNASSIGNED |

@@ -128,17 +128,35 @@ object TextSplitters {
     }
   }
 
+  /** `_threshold_from_clusters` (spliter.py:434-452): map a target
+    * chunk count to a percentile by linear interpolation over the
+    * distance count — x1=len(distances) chunks ↔ percentile 0 (every
+    * gap a breakpoint), x2=1 chunk ↔ percentile 100 (no breakpoints) —
+    * clamped to [0, 100], then take that percentile of the distances. */
+  def thresholdFromClusters(distances: Seq[Double],
+      numberOfChunks: Int): Double = {
+    val x1 = distances.length.toDouble
+    val x2 = 1.0
+    val x = math.max(math.min(numberOfChunks.toDouble, x1), x2)
+    val y = if (x2 == x1) 100.0 else 0.0 + (100.0 - 0.0) / (x2 - x1) * (x - x1)
+    percentile(distances, math.min(math.max(y, 0.0), 100.0))
+  }
+
   /** SemanticChunker.split_text: sentence regex split, ±buffer combine,
     * embed (hashing embedder — the deterministic stand-in), cosine
-    * distance between neighbors, breakpoint threshold by method, group
-    * sentences between breakpoints. Per-document local computation —
-    * runs inside a flatMap, never as a distributed aggregate
-    * (SURVEY.md §2.2 C4). */
+    * distance between neighbors, breakpoint threshold by method (or by
+    * the `numberOfChunks` target-count interpolation when set, which
+    * takes precedence exactly as the reference's
+    * `if self.number_of_chunks is not None` branch does,
+    * spliter.py:488-490), group sentences between breakpoints.
+    * Per-document local computation — runs inside a flatMap, never as
+    * a distributed aggregate (SURVEY.md §2.2 C4). */
   def semanticSplit(text: String,
       bufferSize: Int = 1,
       method: Breakpoint = Percentile,
       amount: Option[Double] = None,
-      minChunkSize: Option[Int] = None): Vector[String] = {
+      minChunkSize: Option[Int] = None,
+      numberOfChunks: Option[Int] = None): Vector[String] = {
     val thresholdAmount = amount.getOrElse(defaultAmount(method))
     val sentences = text.split("(?<=[.?!])\\s+", -1).toVector
     if (sentences.length == 1) return sentences
@@ -156,7 +174,9 @@ object TextSplitters {
       1.0 - HashingEmbedder.cosine(embs(i), embs(i + 1))
     }
 
-    val (threshold, breakArray) = method match {
+    val (threshold, breakArray) = numberOfChunks match {
+      case Some(n) => (thresholdFromClusters(distances, n), distances)
+      case None => method match {
       case Percentile => (percentile(distances, thresholdAmount), distances)
       case StandardDeviation =>
         val mean = distances.sum / distances.length
@@ -169,6 +189,7 @@ object TextSplitters {
       case Gradient =>
         val g = gradient(distances)
         (percentile(g, thresholdAmount), g)
+      }
     }
 
     val breakIdx = breakArray.zipWithIndex.collect {

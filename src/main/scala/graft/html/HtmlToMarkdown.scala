@@ -34,7 +34,13 @@ object HtmlToMarkdown {
     * re-serialization so table-embedded content round-trips bytewise).
     * Attributes stay as the raw source slice and parse lazily: only
     * `img` handling and table re-serialization ever read them, and the
-    * per-tag regex parse was the tokenizer's hottest allocation. */
+    * per-tag regex parse was the tokenizer's hottest allocation.
+    *
+    * NOTE on equality: case-class equality keys on the RAW attribute
+    * slice, so `<td >` != `<td>` and attribute order/quoting matter —
+    * unlike the pre-round-4 parsed-map form. No call site compares Open
+    * tokens (pattern matching only); documented so a future comparer
+    * doesn't assume map semantics. */
   final case class Open(name: String, attrsRaw: String,
       selfClose: Boolean, literalSlash: Boolean = false) extends Tok {
     lazy val attrs: Map[String, String] =

@@ -155,11 +155,55 @@ object IvfIndex {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexDir/centroids")
+    // repartition on the partition column: one file per list instead of
+    // (tasks x lists) tiny files — same rationale as writeLshBucketIndex
     emb.select(col("vec_id"), col("embedding"),
         assignUdf(col("embedding")).as("list_id"))
+      .repartition(col("list_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("list_id")
       .parquet(s"$indexDir/lists")
+  }
+
+  /** Driver-graded durable-IVF probe: write the list-partitioned index
+    * once per process, then serve the standard 10-query top-k purely
+    * from the durable layout — centroids resolve driver-side from the
+    * sidecar, one `list_id IN (union of all probes)` partition-pruned
+    * scan + an equi-join on list_id serves every query. Candidate
+    * semantics == [[ivfTopK]] (same deterministic quantizer), so the
+    * same rank-invariant oracle applies. */
+  def ivfTopKDurable(spark: SparkSession, sfDir: String, k: Int = 10,
+      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val dir = VectorOps.durableDir("graft_ivf_idx", sfDir)
+    VectorOps.ensureWrittenOnce(dir)(writeIvfIndex(spark, sfDir, dir, nlist))
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getString(1).stripPrefix("[").stripSuffix("]")
+        .split(',').filter(_.nonEmpty).map(_.toFloat))
+    val queries = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qRows = queries.flatMap { case (id, v) =>
+      nearestLists(centroids, v, nprobe).map(l => (id, l, v.toSeq))
+    }.toDF("query_id", "list_id", "qv")
+    val allLists = queries
+      .flatMap(q => nearestLists(centroids, q._2, nprobe)).distinct
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    spark.read.parquet(s"$dir/lists")
+      .filter(col("list_id").isin(allLists: _*))
+      .join(broadcast(qRows), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      // no dedup needed (unlike LSH): each vector lives in exactly ONE
+      // list and qRows has distinct (query, list) pairs
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        CosineSimilarity(col("embedding"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   /** Probe the durable index for ONE external query vector: nearest

@@ -241,8 +241,9 @@ object KGPipeline {
       eventEdges: DataFrame,
       eventRels: DataFrame)
 
-  def run(spark: SparkSession, nPages: Long, partitions: Int = 32): Result =
-    runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions))
+  def run(spark: SparkSession, nPages: Long, partitions: Int = 32,
+      cfg: graft.GraftConfig = graft.GraftConfig.default): Result =
+    runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions), cfg = cfg)
 
   /** Same DAG over an externally supplied pages table (the real job
     * shape: spark.read over the Iceberg/parquet pages table). */

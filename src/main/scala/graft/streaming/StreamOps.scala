@@ -89,6 +89,41 @@ object StreamOps {
         "event_rels")
   }
 
+  /** Fixed-replay streaming artifact for the driver gate: stream a
+    * deterministic pages replay (two micro-batches with a re-crawled
+    * overlap — the dedup-exercising shape) through
+    * [[streamingExtract]] into a parquet staging table, then run the
+    * SHARED batch consolidation and return the triple table. The
+    * stream_consolidate oracle compares this dump against the
+    * pure-batch extraction over the same pages
+    * (stream_batch_expected), making stream≡batch equivalence
+    * driver-graded instead of ScalaTest-only (round-4 verdict #8). */
+  def replayConsolidatedTriples(spark: org.apache.spark.sql.SparkSession,
+      nPages: Long = 400L): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[graft.pages.Page]
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_replay").toString
+    val q = streamingExtract(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/tbl")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val cut = nPages * 2 / 3
+      input.addData((0L until cut).map(graft.pages.PagesGenerator.page): _*)
+      q.processAllAvailable()
+      // re-crawl overlap (nPages/3 .. cut) + the new tail
+      input.addData(
+        (nPages / 3 until nPages).map(graft.pages.PagesGenerator.page): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.pipeline.KGPipeline.consolidate(spark.read.parquet(s"$dir/tbl"))
+      .triples
+  }
+
   final case class Click(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
   final case class SessionState(n: Long, lastMs: Long)

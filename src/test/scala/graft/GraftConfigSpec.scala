@@ -66,4 +66,25 @@ class GraftConfigSpec extends SparkSpec {
     assert(split.count() == 2)
     assert(mapStrict.select("canonical_id").distinct().count() == 2)
   }
+
+  test("CLI flags reach the SparkEntry kg pipeline (the Verify/Bench path)") {
+    // the exact wiring the driver-facing mains use: argv -> fromArgs ->
+    // SparkEntry.config -> kg pipeline build (round-4 verdict #5).
+    // "sf0.0001" maps to the 100-page floor — small enough for a test,
+    // large enough that near-identical generated names exist whose
+    // merge is threshold-sensitive.
+    val prev = SparkEntry.config
+    try {
+      val (sfDir, outDir) = Verify.configure(
+        Array("--merge-threshold=0.05", "sf0.0001_cli", "/tmp/cli_out"))
+      assert((sfDir, outDir) == ("sf0.0001_cli", "/tmp/cli_out"))
+      assert(SparkEntry.config.mergeThreshold == 0.05)
+      val loose = SparkEntry.queries("kg_entities")(spark, sfDir).count()
+      SparkEntry.config = GraftConfig.default
+      val strict = SparkEntry.queries("kg_entities")(spark, sfDir).count()
+      assert(loose < strict,
+        s"merge-threshold=0.05 produced $loose entities vs $strict at " +
+          "default — the CLI flag did not reach canonicalize")
+    } finally SparkEntry.config = prev
+  }
 }

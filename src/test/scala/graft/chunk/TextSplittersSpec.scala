@@ -103,4 +103,50 @@ class TextSplittersSpec extends AnyFunSuite {
       assert(chunks.mkString(" ").length >= text.length - 5, m.toString)
     }
   }
+
+  test("thresholdFromClusters matches the reference interpolation") {
+    // x1 = len(distances) -> percentile 0 (the minimum); x2 = 1 ->
+    // percentile 100 (the maximum); midpoints interpolate linearly
+    // (spliter.py:434-452)
+    val d = Seq(0.1, 0.2, 0.3, 0.4, 0.5)
+    assert(thresholdFromClusters(d, 5) == percentile(d, 0))
+    assert(thresholdFromClusters(d, 1) == percentile(d, 100))
+    // n=3: x=3, y = 0 + (100-0)/(1-5) * (3-5) = 50
+    assert(thresholdFromClusters(d, 3) == percentile(d, 50))
+    // out-of-range targets clamp to [1, len]
+    assert(thresholdFromClusters(d, 99) == percentile(d, 0))
+    assert(thresholdFromClusters(d, 0) == percentile(d, 100))
+    assert(thresholdFromClusters(d, -7) == percentile(d, 100))
+    // single distance: x1 == x2 -> y = 100 (the reference's x2==x1 arm)
+    assert(thresholdFromClusters(Seq(0.4), 1) == 0.4)
+  }
+
+  test("semantic split with numberOfChunks: count-targeted, covers the text") {
+    val text = (1 to 12).map { i =>
+      if (i <= 4) s"quality report item $i."
+      else if (i <= 8) s"totally different topic $i."
+      else s"yet another unrelated subject $i."
+    }.mkString(" ")
+    val sentences = text.split("(?<=[.?!])\\s+", -1).toVector
+    // targeting 1 chunk picks the max-distance threshold: strictly-
+    // greater comparison means NO breakpoint fires -> one chunk
+    assert(semanticSplit(text, numberOfChunks = Some(1)) ==
+      Vector(sentences.mkString(" ")))
+    // targeting len(distances) chunks uses percentile 0 (the minimum):
+    // every strictly-above-min gap breaks
+    val many = semanticSplit(text, numberOfChunks = Some(sentences.length - 1))
+    assert(many.length > 1)
+    // the interpolation monotone: a larger target never yields fewer
+    // chunks, and every variant covers all sentences in order
+    val counts = Seq(1, 3, 6, 11).map { n =>
+      val c = semanticSplit(text, numberOfChunks = Some(n))
+      assert(c.flatMap(_.split("(?<=[.?!])\\s+", -1)) == sentences, s"n=$n")
+      c.length
+    }
+    assert(counts == counts.sorted, s"chunk counts not monotone: $counts")
+    // numberOfChunks takes precedence over method/amount (the
+    // reference's `if number_of_chunks is not None` branch)
+    assert(semanticSplit(text, method = Gradient, amount = Some(5),
+      numberOfChunks = Some(1)) == Vector(sentences.mkString(" ")))
+  }
 }

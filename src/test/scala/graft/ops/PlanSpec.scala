@@ -224,4 +224,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF"), p) // embedder runs only on the query string
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("durable multi-query LSH probe equals the in-memory annTopKLsh, partition-pruned") {
+    // the driver-graded ann_topk_lsh_durable query: one partition-pruned
+    // scan serves all 10 queries, rows identical to the in-memory path
+    // (same shared-table-key candidate rule, same exact-cosine rank)
+    val durable = VectorOps.annTopKLshDurable(spark, sf0001)
+    val mem = VectorOps.annTopKLsh(spark, sf0001)
+    assert(durable.collect().map(_.toString).sorted.toSeq ==
+      mem.collect().map(_.toString).sorted.toSeq)
+    val scans = fileScans(durable.queryExecution.executedPlan)
+      .filter(_.toString.contains("graft_lsh_idx"))
+    assert(scans.nonEmpty, plan(durable))
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.toString.contains("bucket")),
+        s"durable probe scan not partition-pruned on bucket:\n$s")
+    }
+  }
+
+  test("durable multi-query IVF probe equals the in-memory ivfTopK, partition-pruned") {
+    val durable = IvfIndex.ivfTopKDurable(spark, sf0001)
+    val mem = IvfIndex.ivfTopK(spark, sf0001)
+    assert(durable.collect().map(_.toString).sorted.toSeq ==
+      mem.collect().map(_.toString).sorted.toSeq)
+    val scans = fileScans(durable.queryExecution.executedPlan)
+      .filter(_.toString.contains("graft_ivf_idx"))
+    assert(scans.nonEmpty, plan(durable))
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.toString.contains("list_id")),
+        s"durable probe scan not partition-pruned on list_id:\n$s")
+    }
+  }
+
+  test("lsh bucket index cache keys on the canonical path (one copy per dir)") {
+    val a = VectorOps.lshBucketIndexCached(spark, sf0001)
+    val b = VectorOps.lshBucketIndexCached(spark, sf0001 + "/")
+    val c = VectorOps.lshBucketIndexCached(spark,
+      "/root/testdata/../testdata/sf0.001")
+    assert((a eq b) && (a eq c),
+      "same dir under different spellings built separate cached indexes")
+  }
 }
