@@ -21,18 +21,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Ordering + budget (the round-4 lesson — the driver bench was killed
   * by an external timeout with NOTHING printed):
-  *  - the wall budget clocks the WHOLE process from JVM start
-  *    (RuntimeMXBean.getStartTime), so input synthesis, session
-  *    startup and the per-query block all count against it, not just
-  *    the rep loop;
+  *  - the wall budget clocks the WHOLE invocation: from the parent sbt
+  *    JVM's start when forked by `sbt runMain` (so sbt startup and
+  *    compile count — the external timeout wraps the whole sbt
+  *    command), falling back to this JVM's own start otherwise; input
+  *    synthesis, session startup and the per-query block all count
+  *    against it, not just the rep loop;
   *  - the per-query block runs FIRST, so budget pressure can only ever
   *    cost scaling rep sets (extra quiet-window samples), never a
   *    whole section;
   *  - rep sets beyond the FIRST start only if the projected cost fits:
-  *    projection uses the MAX observed set time (not the mean — a
-  *    contended window runs ~2x slower than a quiet one and the mean
-  *    under-projects exactly when it matters) with an extra 2x
-  *    contention factor for sets past the 3-set methodology floor;
+  *    projection sums the WORST observed per-level wall of the levels
+  *    the next set will run (not a mean — a contended window runs ~2x
+  *    slower than a quiet one and a mean under-projects exactly when
+  *    it matters) with an extra 2x contention factor for sets past the
+  *    3-set methodology floor. Sets beyond the second drop the xlarge
+  *    transparency level so the budget buys more samples of the two
+  *    levels defining the headline N -> 4N ratio;
   *  - every forked measurement carries a hard timeout of the remaining
   *    budget; a killed child degrades that level to best-so-far
   *    instead of taking the process (and the JSON line) down with it.
@@ -315,13 +320,38 @@ object Bench {
     val cfgFlags = args.filter(_.startsWith("--")).toSeq
     SparkEntry.config = cfg
 
-    // Whole-process wall budget, clocked from JVM START — not from the
-    // rep loop (round 4 died because prep + warm-ups + the trailing
-    // per-query block were all unbudgeted). The default is derated so
-    // a floor run still fits under typical external harness timeouts
-    // with sbt-side overhead on top.
-    val jvmStartMs =
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    // Whole-process wall budget, clocked from the INVOCATION start —
+    // not from the rep loop (round 4 died because prep + warm-ups and
+    // the trailing per-query block were all unbudgeted). With
+    // `run / fork := true` this JVM is forked by sbt AFTER sbt startup
+    // and compile, but the external harness timeout wraps the whole
+    // `sbt runMain` invocation — so when the parent process is a java
+    // (sbt) JVM, clock from ITS start so compile time counts too.
+    // The lookback is clamped (10 min before our own start) so a
+    // long-lived interactive sbt shell cannot zero the budget.
+    val jvmStartMs = {
+      val ownStartMs =
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+      val preJvmCapMs = 600 * 1000L
+      val parentJavaStartMs: Option[Long] = try {
+        val p = ProcessHandle.current().parent()
+        if (p.isPresent) {
+          val info = p.get.info()
+          val cmd = info.command().orElse("")
+          if (cmd.contains("java") && info.startInstant().isPresent)
+            Some(info.startInstant().get.toEpochMilli)
+          else None
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+      parentJavaStartMs match {
+        case Some(s) =>
+          val t0 = math.max(s, ownStartMs - preJvmCapMs)
+          System.err.println(f"[bench] budget clock includes " +
+            f"${(ownStartMs - t0) / 1e3}%.0f s of pre-fork sbt overhead")
+          t0
+        case None => ownStartMs
+      }
+    }
     def wallS: Double = (System.currentTimeMillis() - jvmStartMs) / 1e3
     val budgetS =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1900").toDouble
@@ -392,8 +422,18 @@ object Bench {
         // for the machine's actual capability under one-sided noise.
         val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
         val levels = Seq(n1, n2, cpus).distinct // coincide at low cpus
+        // the headline criterion is the N -> 4N ratio; the xlarge level
+        // exists for throughput + 4N -> 16N transparency. After two
+        // sets its best-of is good enough — later sets drop it so the
+        // remaining budget buys more quiet-window samples of the two
+        // levels that define the ratio (the ratio, not the absolute
+        // walls, is what a contended window can push past 0.8)
+        def levelsFor(set: Int): Seq[Int] =
+          if (set < 2) levels
+          else levels.filter(cp => cp == n1 || cp == n2)
         val best =
           scala.collection.mutable.HashMap.empty[Int, (Double, Long, Long, Long)]
+        val worst = scala.collection.mutable.HashMap.empty[Int, Double]
         // 5 reps max: the host drifts between quiet and contended
         // windows on a ~10-minute scale (measured same-binary 8-core
         // spreads of 49.5-74.5 s with ~0 steal — neighbor
@@ -404,41 +444,46 @@ object Bench {
         // Set gating: the FIRST set always attempts (its children carry
         // hard per-run caps of the remaining budget, so even a fully
         // contended window cannot run the process past the budget);
-        // later sets start only if the projection fits. Projection uses
-        // the MAX observed set time — the mean under-projects exactly
-        // when a contended window lands mid-loop (the round-4 ADVICE
-        // finding) — times 1.25x for sets 2-3 (the methodology floor)
-        // and 2x for luxury quiet-window sampling beyond 3 (a set that
-        // only fits if the window stays quiet must not start).
-        val setTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        // later sets start only if the projection fits. Projection sums
+        // the WORST observed time of each level the next set will run —
+        // a mean under-projects exactly when a contended window lands
+        // mid-loop (the round-4 ADVICE finding) — times 1.25x for sets
+        // 2-3 (the methodology floor) and 2x for luxury quiet-window
+        // sampling beyond 3 (a set that only fits if the window stays
+        // quiet must not start).
         var set = 0
         var aborted = false
         var fits = true
         while (!aborted && fits && set < reps) {
           fits = set == 0 || {
             val factor = if (set < 3) 1.25 else 2.0
-            val projected = wallS + setTimes.max * factor + reserveS
+            val nextCost = levelsFor(set).map(worst(_)).sum
+            val projected = wallS + nextCost * factor + reserveS
             if (projected > budgetS)
               System.err.println(f"[bench] stopping after $set rep sets: " +
-                f"${wallS}%.0f s elapsed + ${setTimes.max}%.0f s/set x " +
+                f"${wallS}%.0f s elapsed + ${nextCost}%.0f s/set x " +
                 f"$factor%.2f would exceed the $budgetS%.0f s budget")
             projected <= budgetS
           }
           if (fits) {
-            set += 1
-            val setT0 = System.nanoTime()
-            for (cp <- levels if !aborted) {
+            for (cp <- levelsFor(set) if !aborted) {
+              val t0 = System.nanoTime()
               kgRunForked(cp, dir, budgetS - wallS - reserveS, cfgFlags) match {
                 case Some(r) =>
                   raw += ((cp, r._1))
                   if (!best.contains(cp) || r._1 < best(cp)._1) best(cp) = r
+                  // fork + session + warm-up overhead belongs in the
+                  // projection, so track the child's WALL, not its
+                  // self-reported timed section
+                  val w = (System.nanoTime() - t0) / 1e9
+                  if (w > worst.getOrElse(cp, 0.0)) worst(cp) = w
                 case None =>
                   // timed-out/failed child: stop sampling, keep the
                   // completed levels' best-so-far instead of dying
                   aborted = true
               }
             }
-            setTimes += (System.nanoTime() - setT0) / 1e9
+            set += 1
           }
         }
         val rawJson = raw.map { case (c, t) => f"""{"cores":$c,"sec":$t%.3f}""" }
