@@ -59,7 +59,15 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
+      // 4x cores of initial shuffle headroom: AQE (parallelismFirst)
+      // coalesces small exchanges back to ~core count, while mid-size
+      // exchanges keep enough partitions that the last wave of a
+      // single-wave stage can't idle most of the machine — measured on
+      // the vocabulary-sized canonicalization shuffles, whose walls were
+      // core-count-INDEPENDENT (pure efficiency loss) at exactly
+      // max(cpus, 8) partitions
+      .config("spark.sql.shuffle.partitions",
+        math.max(cpus * 4, 8).toString)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_BENCH_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -269,8 +277,7 @@ object Bench {
     }
     val pages = spark.read.parquet(pagesDir).as[graft.pages.Page]
     val chunks = graft.pipeline.KGPipeline.chunk(pages)
-    val bc = spark.sparkContext.broadcast(
-      new graft.extract.TripleExtractor(graft.extract.KnowledgeBase.load().withAliases))
+    val bc = spark.sparkContext.broadcast(graft.extract.TripleExtractor.default)
     def narrowExtract = chunks.mapPartitions { it =>
       val ex = bc.value
       var n = 0L

@@ -151,8 +151,6 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     (r._1, r._2)
   }
 
-  /** Extract mentions + triples + events + event relations from one
-    * chunk. */
   /** Word-boundary check for a [start, endExcl) match in the normalized
     * string, evaluated against the ORIGINAL content through the offset
     * map: the physically-adjacent original chars decide, so a stripped
@@ -171,16 +169,125 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
 
   def extractAll(chunkId: String, url: String, content: String)
       : (Vector[Mention], Vector[Triple], Vector[EventRow], Vector[EventRelRow]) = {
+    val (ms, ts, es, rs) = extractAllCompact(content)
+    (ms.map { c =>
+      val (s, n, ty, d) = expandMention(c); Mention(chunkId, url, s, n, ty, d)
+     },
+     ts.map { c =>
+       val (s, p, o, d) = expandTriple(c); Triple(chunkId, url, s, p, o, d)
+     },
+     es.map { c =>
+       val (ord, ct, ty, pp) = expandEvent(c); EventRow(chunkId, url, ord, ct, ty, pp)
+     },
+     rs.map { c =>
+       val (h, t, ty, d) = expandEventRel(c); EventRelRow(chunkId, url, h, t, ty, d)
+     })
+  }
+
+  // ---- compact (dictionary-encoded) extraction -------------------------
+  // Every spec-fired row's strings are a pure function of the SPEC, and
+  // the spec table is vocabulary-bounded while the corpus is not — so the
+  // per-chunk result arrays that cross the consolidation shuffle carry
+  // the spec's POSITION in this extractor's (deterministically ordered)
+  // spec vectors instead of repeating the same name/description strings
+  // once per firing chunk. At 1M pages this shrinks the extraction
+  // shuffle from full-string structs to int-dominated rows; expansion
+  // back to the full schema happens once, AFTER the survivor aggregate
+  // (KGPipeline.consolidate). Index stability: KnowledgeBase.load() is
+  // deterministic and the kill-list construction filter is pure, so the
+  // same library version always assigns the same indexes — a staged
+  // compact table is only readable by the extractor recipe that wrote it
+  // (same contract as the chunk-id recipe, Lineage.FormatVersion).
+  //
+  // Encodings (open-vocabulary rows carry their short literals inline):
+  //  - mention  (idx, s):       idx >= 0 -> entitySpecs(idx), s null;
+  //                             idx == -1 -> component code, surface s;
+  //                             idx == -2 -> category, surface s
+  //  - triple   (idx, s1, s2):  idx >= 0 -> tripleSpecs(idx);
+  //                             idx == -1 -> (s1, 属于关系, s2)
+  //  - event    (ord, idx):     eventSpecs(idx), ord = dense within-chunk
+  //  - eventRel (hOrd, tOrd, idx): eventRelSpecs(idx)
+
+  /** Expand one compact mention to (surface, name, type, description). */
+  def expandMention(c: (Int, String)): (String, String, String, String) =
+    c._1 match {
+      case -1 => (c._2, c._2, "部件型号", "")
+      case -2 => (c._2, c._2, "部件类别", "")
+      case i =>
+        val e = entitySpecs(i)._1
+        (e.evidence.headOption.getOrElse(e.name), e.name, e.entityType,
+          e.description)
+    }
+
+  /** Expand one compact triple to (subj, pred, obj, description). */
+  def expandTriple(c: (Int, String, String)): (String, String, String, String) =
+    if (c._1 == -1) (c._2, "属于关系", c._3, "")
+    else {
+      val t = tripleSpecs(c._1)._1
+      (t.subj, t.pred, t.obj, t.description)
+    }
+
+  /** Expand one compact event to (ord, content, type, participants). */
+  def expandEvent(c: (Int, Int)): (Int, String, String, Vector[String]) = {
+    val e = eventSpecs(c._2)._1
+    (c._1, e.content, e.eventType, e.participants)
+  }
+
+  /** Expand one compact event relation to (headOrd, tailOrd, type,
+    * description). */
+  def expandEventRel(c: (Int, Int, Int)): (Int, Int, String, String) = {
+    val r = eventRelSpecs(c._3)._1
+    (c._1, c._2, r.relationType, r.description)
+  }
+
+  // ---- spec dimension tables (driver-side, vocabulary-bounded) --------
+  // One row per spec index, for the broadcast-join expansion of staged
+  // compact tables (KGPipeline.consolidate): the consumers stay whole-
+  // stage-codegen DataFrame plans — explode ints, broadcast-join the
+  // dim, project — instead of a mapPartitions string materialization.
+
+  /** (idx, surface, name, type, description) per gazetteer entity. */
+  def mentionSpecRows: Seq[(Int, String, String, String, String)] =
+    entitySpecs.zipWithIndex.map { case ((e, _), i) =>
+      (i, e.evidence.headOption.getOrElse(e.name), e.name, e.entityType,
+        e.description)
+    }
+
+  /** (idx, subj, pred, obj, description) per triple spec. */
+  def tripleSpecRows: Seq[(Int, String, String, String, String)] =
+    tripleSpecs.zipWithIndex.map { case ((t, _, _), i) =>
+      (i, t.subj, t.pred, t.obj, t.description)
+    }
+
+  /** (idx, content, type, participants) per event spec. */
+  def eventSpecRows: Seq[(Int, String, String, Seq[String])] =
+    eventSpecs.zipWithIndex.map { case ((e, _, _), i) =>
+      (i, e.content, e.eventType, e.participants)
+    }
+
+  /** (idx, type, description) per event-relation spec. */
+  def eventRelSpecRows: Seq[(Int, String, String)] =
+    eventRelSpecs.zipWithIndex.map { case ((r, _, _), i) =>
+      (i, r.relationType, r.description)
+    }
+
+  /** Compact-form [[extractAll]]: identical firing/dedup/order logic,
+    * spec-index payloads (see the encoding table above). [[extractAll]]
+    * is expand-of-this, so the ScalaTest extraction pins cover both. */
+  def extractAllCompact(content: String)
+      : (Vector[(Int, String)], Vector[(Int, String, String)],
+         Vector[(Int, Int)], Vector[(Int, Int, Int)]) = {
     val (normalized, offs) = KnowledgeBase.normalizeWithOffsets(content)
     val hits = automaton.matchedBits(normalized)
 
     // E3 gazetteer pass + E5 kill-list + E2 name-keyed dedup
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    val mentions = Vector.newBuilder[Mention]
+    val mentions = Vector.newBuilder[(Int, String)]
+    var mIdx = -1
     entitySpecs.foreach { case (e, ids) =>
+      mIdx += 1
       if (ids.length > 0 && allSet(hits, ids) && seen.add(e.name)) {
-        mentions += Mention(chunkId, url, e.evidence.headOption.getOrElse(e.name),
-          e.name, e.entityType, e.description)
+        mentions += ((mIdx, null))
       }
     }
 
@@ -199,7 +306,7 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
       if (origBoundaryOk(content, offs, start, end)) {
         val s = normalized.substring(start, end)
         if (seen.add(s)) {
-          mentions += Mention(chunkId, url, s, s, "部件型号", "")
+          mentions += ((-1, s))
         }
         pos = end
       } else pos = start + 1
@@ -210,23 +317,25 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     while (crm.find()) {
       val cat = crm.group(2)
       if (seen.add(cat)) {
-        mentions += Mention(chunkId, url, cat, cat, "部件类别", "")
+        mentions += ((-2, cat))
       }
       codeTriples += ((crm.group(1), cat))
     }
 
     // triples + E7 cleaning + (subj,pred,obj) dedup
     val seenT = scala.collection.mutable.LinkedHashSet.empty[(String, String, String)]
-    val triples = Vector.newBuilder[Triple]
+    val triples = Vector.newBuilder[(Int, String, String)]
+    var tIdx = -1
     tripleSpecs.foreach { case (t, ev, fb) =>
+      tIdx += 1
       val fires = ev.length > 0 && allSet(hits, ev) && !anySet(hits, fb)
       if (fires && seenT.add((t.subj, t.pred, t.obj))) {
-        triples += Triple(chunkId, url, t.subj, t.pred, t.obj, t.description)
+        triples += ((tIdx, null, null))
       }
     }
     codeTriples.result().foreach { case (code, cat) =>
       if (seenT.add((code, "属于关系", cat))) {
-        triples += Triple(chunkId, url, code, "属于关系", cat, "")
+        triples += ((-1, code, cat))
       }
     }
 
@@ -238,13 +347,15 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     // event ids stay dense and collision-free however many source
     // specs fired.
     val seenE = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val events = Vector.newBuilder[EventRow]
+    val events = Vector.newBuilder[(Int, Int)]
+    var eIdx = -1
     eventSpecs.foreach { case (e, ev, fb) =>
+      eIdx += 1
       if (ev.length > 0 && allSet(hits, ev) && !anySet(hits, fb) &&
           !seenE.contains(e.content)) {
         val ord = seenE.size
         seenE.put(e.content, ord)
-        events += EventRow(chunkId, url, ord, e.content, e.eventType, e.participants)
+        events += ((ord, eIdx))
       }
     }
 
@@ -254,12 +365,14 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
     // plus its own evidence/forbid; dedup by (head, tail, type) like
     // the history merge.
     val seenR = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, String)]
-    val eventRels = Vector.newBuilder[EventRelRow]
+    val eventRels = Vector.newBuilder[(Int, Int, Int)]
+    var rIdx = -1
     eventRelSpecs.foreach { case (r, ev, fb) =>
+      rIdx += 1
       (seenE.get(r.headContent), seenE.get(r.tailContent)) match {
         case (Some(h), Some(t)) if allSet(hits, ev) && !anySet(hits, fb) &&
             seenR.add((h, t, r.relationType)) =>
-          eventRels += EventRelRow(chunkId, url, h, t, r.relationType, r.description)
+          eventRels += ((h, t, rIdx))
         case _ =>
       }
     }
@@ -268,6 +381,17 @@ final class TripleExtractor(kb: KnowledgeBase) extends Serializable {
 }
 
 object TripleExtractor {
+
+  /** Process-wide default extractor over the deterministic alias-closed
+    * KB — the instance every pipeline path broadcasts. A singleton so
+    * the (one-per-JVM) Aho-Corasick automaton build and KB load are
+    * paid once and shared: per-call construction rebuilt the automaton
+    * inside every timed run even though local-mode broadcasts share the
+    * driver object by reference (on a cluster the build is per-executor
+    * either way). Custom KBs (tests, fixtures) still construct their
+    * own instances. */
+  lazy val default: TripleExtractor =
+    new TripleExtractor(KnowledgeBase.load().withAliases)
 
   @inline private def foldUp(c: Char): Char =
     if (c >= 'a' && c <= 'z') (c - 32).toChar else c

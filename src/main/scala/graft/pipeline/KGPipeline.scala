@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.canon.Canonicalizer
 import graft.chunk.MarkdownSplitter
-import graft.extract.{KnowledgeBase, TripleExtractor}
+import graft.extract.TripleExtractor
 import graft.pages.{Page, PagesGenerator}
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -103,23 +103,25 @@ object KGPipeline {
   def extract(spark: SparkSession, chunks: Dataset[ChunkRow],
       stageDir: Option[String] = None): Extraction = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      new TripleExtractor(KnowledgeBase.load().withAliases))
+    val bc = spark.sparkContext.broadcast(TripleExtractor.default)
+    // COMPACT emission (TripleExtractor.extractAllCompact): the arrays
+    // crossing the consolidation shuffle carry spec INDEXES plus the
+    // short open-vocabulary literals, not the expanded strings — the
+    // spec strings are vocabulary-bounded and would otherwise repeat
+    // once per firing chunk through shuffle write, sort and shuffle
+    // read. Expansion happens once, after the survivor agg
+    // (consolidate), so every staged/downstream table is unchanged.
     val raw0 = chunks.mapPartitions { it =>
       val ex = bc.value
       val seen = scala.collection.mutable.HashSet.empty[String]
       it.flatMap { c =>
         if (seen.add(c.content_hash)) {
-          val (ms, ts, es, rs) = ex.extractAll(c.chunk_id, c.url, c.content)
-          Iterator.single((c.chunk_id, c.content_hash,
-            ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
-            ts.map(t => (t.subj, t.pred, t.obj, t.description)),
-            es.map(e => (e.ord, e.content, e.eventType, e.participants)),
-            rs.map(r => (r.headOrd, r.tailOrd, r.relationType, r.description))))
+          val (ms, ts, es, rs) = ex.extractAllCompact(c.content)
+          Iterator.single((c.chunk_id, c.content_hash, ms, ts, es, rs))
         } else Iterator.empty
       }
     }.toDF("chunk_id", "content_hash", "mentions", "triples", "events", "event_rels")
-    consolidate(raw0, stageDir)
+    consolidate(raw0, stageDir, Some(bc))
   }
 
   /** Consolidation: deterministic survivor per 8-hex chunk id, then
@@ -128,9 +130,13 @@ object KGPipeline {
     * exactly this input schema), so stream-append-then-consolidate
     * equals the pure-batch pipeline — asserted end-to-end in
     * StreamOpsSpec, not just argued. */
-  def consolidate(raw0: DataFrame,
-      stageDir: Option[String] = None): Extraction = {
+  def consolidate(raw0: DataFrame, stageDir: Option[String] = None,
+      bcEx: Option[org.apache.spark.broadcast.Broadcast[TripleExtractor]] = None)
+      : Extraction = {
     val spark = raw0.sparkSession
+    import spark.implicits._
+    val bc = bcEx.getOrElse(
+      spark.sparkContext.broadcast(TripleExtractor.default))
     // chunk_id is the reference's 8-hex md5 prefix (G1): at web scale
     // DIFFERENT contents collide in the 32-bit id space (~1k collisions
     // per 3M distinct chunks), and a dropDuplicates survivor would
@@ -160,6 +166,11 @@ object KGPipeline {
     //    for every downstream action (localCheckpoint would truncate too
     //    but its RDD scan defeats column pruning);
     //  - no stageDir (small interactive runs): columnar persist.
+    // The staged/persisted table keeps the COMPACT spec-index form (7x
+    // smaller than the expanded strings at 1M pages): the reduce tasks
+    // never materialize the vocabulary strings, and every consumer
+    // below expands declaratively — explode ints, broadcast-join a
+    // spec dimension, project — inside whole-stage codegen.
     val both = stageDir match {
       case Some(dir) =>
         Jobs.named(spark, "extract: chunk+extract+dedup -> stage write") {
@@ -170,36 +181,70 @@ object KGPipeline {
       case None =>
         raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // spec dimension tables: one row per spec index, vocabulary-bounded
+    // (driver-built, broadcast). bc.value on the driver is the local
+    // instance — no deserialization.
+    val ex = bc.value
+    val mDim = broadcast(ex.mentionSpecRows
+      .toDF("idx", "d_surface", "d_name", "d_type", "d_desc"))
+    val tDim = broadcast(ex.tripleSpecRows
+      .toDF("idx", "d_subj", "d_pred", "d_obj", "d_desc"))
+    val eDim = broadcast(ex.eventSpecRows
+      .toDF("idx", "d_content", "d_type", "d_participants"))
+    val rDim = broadcast(ex.eventRelSpecRows
+      .toDF("idx", "d_type", "d_desc"))
     // posexplode: the within-chunk mention position is the tiebreaker of
     // the first-writer order the canonicalizer uses (reference ON CREATE
-    // SET semantics — Canonicalizer.canonicalize)
+    // SET semantics — Canonicalizer.canonicalize). Open-vocabulary rows
+    // (idx < 0) carry their literals inline; the left join leaves their
+    // dim columns null and the projection falls back to the literal.
     val mentions = both
       .select(col("chunk_id"), posexplode(col("mentions")).as(Seq("ord", "m")))
       .select(col("chunk_id"), col("ord"),
-        col("m._1").as("surface"), col("m._2").as("entityName"),
-        col("m._3").as("entityType"), col("m._4").as("entityDescription"))
+        col("m._1").as("idx"), col("m._2").as("s"))
+      .join(mDim, Seq("idx"), "left")
+      .select(col("chunk_id"), col("ord"),
+        coalesce(col("s"), col("d_surface")).as("surface"),
+        coalesce(col("s"), col("d_name")).as("entityName"),
+        when(col("idx") === -1, "部件型号")
+          .when(col("idx") === -2, "部件类别")
+          .otherwise(col("d_type")).as("entityType"),
+        when(col("idx") < 0, "").otherwise(col("d_desc"))
+          .as("entityDescription"))
     val triples = both
       .select(col("chunk_id"), explode(col("triples")).as("t"))
+      .select(col("chunk_id"), col("t._1").as("idx"),
+        col("t._2").as("s1"), col("t._3").as("s2"))
+      .join(tDim, Seq("idx"), "left")
       .select(col("chunk_id"),
-        col("t._1").as("subj"), col("t._2").as("pred"),
-        col("t._3").as("obj"), col("t._4").as("description"))
+        coalesce(col("s1"), col("d_subj")).as("subj"),
+        when(col("idx") === -1, "属于关系").otherwise(col("d_pred")).as("pred"),
+        coalesce(col("s2"), col("d_obj")).as("obj"),
+        when(col("idx") === -1, "").otherwise(col("d_desc")).as("description"))
     // G4 semantics: event identity = chunk_id + "_event_" + ord
     // (reference event_graphrag_neo4j.py:139,373-396)
     val events = both
       .select(col("chunk_id"), explode(col("events")).as("e"))
+      .select(col("chunk_id"), col("e._1").as("ord"), col("e._2").as("idx"))
+      .join(eDim, Seq("idx"))
       .select(
-        concat(col("chunk_id"), lit("_event_"), col("e._1")).as("event_id"),
+        concat(col("chunk_id"), lit("_event_"), col("ord")).as("event_id"),
         col("chunk_id"),
-        col("e._2").as("content"), col("e._3").as("event_type"),
-        col("e._4").as("participants"))
+        col("d_content").as("content"), col("d_type").as("event_type"),
+        col("d_participants").as("participants"))
     // event relations, endpoints as same-chunk event ids (the extractor
     // already resolved ords against the fired events — E4 semantics)
     val eventRels = both
       .select(col("chunk_id"), explode(col("event_rels")).as("r"))
+      .select(col("chunk_id"), col("r._1").as("head_ord"),
+        col("r._2").as("tail_ord"), col("r._3").as("idx"))
+      .join(rDim, Seq("idx"))
       .select(col("chunk_id"),
-        concat(col("chunk_id"), lit("_event_"), col("r._1")).as("head_event_id"),
-        concat(col("chunk_id"), lit("_event_"), col("r._2")).as("tail_event_id"),
-        col("r._3").as("relation_type"), col("r._4").as("description"))
+        concat(col("chunk_id"), lit("_event_"), col("head_ord"))
+          .as("head_event_id"),
+        concat(col("chunk_id"), lit("_event_"), col("tail_ord"))
+          .as("tail_event_id"),
+        col("d_type").as("relation_type"), col("d_desc").as("description"))
     Extraction(mentions, triples, events, eventRels)
   }
 

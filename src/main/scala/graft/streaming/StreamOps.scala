@@ -48,23 +48,24 @@ object StreamOps {
     * pages as late input. Ingest time only clocks dedup-state expiry;
     * it never enters any identity or output column.
     *
-    * Output schema == the batch extraction table (chunk_id,
-    * content_hash, mentions/triples/events/event_rels arrays), so the
-    * periodic batch consolidation applies the exact same
-    * min_by(content_hash)-per-chunk_id survivor rule and
-    * canonicalization the batch path runs — 8-hex chunk_id collisions
-    * across the appended table resolve there, deterministically
-    * (collision resolution is a global fixpoint, not a per-row stream
-    * operator; within the watermark horizon each content extracts
-    * exactly once).
+    * Output schema == the batch extraction STAGING table (chunk_id,
+    * content_hash, COMPACT spec-index mention/triple/event/event_rel
+    * arrays — TripleExtractor.extractAllCompact), so the periodic batch
+    * consolidation applies the exact same min_by(content_hash)-per-
+    * chunk_id survivor rule, expansion and canonicalization the batch
+    * path runs — 8-hex chunk_id collisions across the appended table
+    * resolve there, deterministically (collision resolution is a global
+    * fixpoint, not a per-row stream operator; within the watermark
+    * horizon each content extracts exactly once). The staged compact
+    * rows are only readable by the same extractor recipe that wrote
+    * them (spec indexes are positional in the deterministic KB load —
+    * the same contract as the chunk-id recipe).
     */
   def streamingExtract(pages: Dataset[graft.pages.Page],
       watermark: String = "1 hour"): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      new graft.extract.TripleExtractor(
-        graft.extract.KnowledgeBase.load().withAliases))
+    val bc = spark.sparkContext.broadcast(graft.extract.TripleExtractor.default)
     pages
       .flatMap(p => graft.pipeline.KGPipeline.chunkPage(p))
       .toDF()
@@ -77,12 +78,8 @@ object StreamOps {
       .mapPartitions { it =>
         val ex = bc.value
         it.map { c =>
-          val (ms, ts, es, rs) = ex.extractAll(c.chunk_id, c.url, c.content)
-          (c.chunk_id, c.content_hash,
-            ms.map(m => (m.surface, m.entityName, m.entityType, m.entityDescription)),
-            ts.map(t => (t.subj, t.pred, t.obj, t.description)),
-            es.map(e => (e.ord, e.content, e.eventType, e.participants)),
-            rs.map(r => (r.headOrd, r.tailOrd, r.relationType, r.description)))
+          val (ms, ts, es, rs) = ex.extractAllCompact(c.content)
+          (c.chunk_id, c.content_hash, ms, ts, es, rs)
         }
       }
       .toDF("chunk_id", "content_hash", "mentions", "triples", "events",

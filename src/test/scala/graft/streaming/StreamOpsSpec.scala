@@ -40,8 +40,9 @@ class StreamOpsSpec extends SparkSpec {
         s"stream emitted ${got.count()} rows for ${expected.size} distinct chunks")
       assert(got.count() > n1, "second batch added no new chunks — vacuous")
       // extraction payload matches the batch extractor for a sample
-      // chunk (output schema == the batch extraction table, so the
-      // batch consolidation can consume the appended stream directly)
+      // chunk (output schema == the batch extraction STAGING table —
+      // compact spec-index arrays — so the batch consolidation can
+      // consume the appended stream directly and expand it)
       val ex = new graft.extract.TripleExtractor(
         graft.extract.KnowledgeBase.load().withAliases)
       val sample = got.filter(size(col("triples")) > 0)
@@ -53,8 +54,8 @@ class StreamOpsSpec extends SparkSpec {
       val batchTriples = ex.extractAll(sample.getString(0), "u", chunkContent)
         ._2.map(t => (t.subj, t.pred, t.obj, t.description))
       val streamTriples = sample.getSeq[org.apache.spark.sql.Row](2)
-        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-      assert(streamTriples == batchTriples)
+        .map(r => ex.expandTriple((r.getInt(0), r.getString(1), r.getString(2))))
+      assert(streamTriples.toVector == batchTriples)
     } finally q.stop()
   }
 
