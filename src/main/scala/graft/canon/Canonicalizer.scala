@@ -186,11 +186,13 @@ object Canonicalizer {
         .withColumn("display_name", col("first_w.norm_name"))
         .withColumn("entity_type", col("first_w.entityType"))
         .drop("first_w")
-        .withColumn("embedding", embedUdf(col("display_name")))
         // bands materialize INSIDE the checkpoint: the banding self-join
         // references this frame four times (two join sides + the
         // band-size guard), and an uncheckpointed UDF would re-run the
-        // 128-minhash signature per reference
+        // 128-minhash signature per reference. The embedding column
+        // deliberately does NOT: it is a cheap deterministic function of
+        // display_name, recomputed at the verify site (below), so the
+        // checkpoint stays ~256 B/row slimmer.
         .withColumn("bands",
           bandsUdf(cfg.nameBands, cfg.nameRows)(col("display_name")))
         .localCheckpoint(true)
@@ -218,40 +220,68 @@ object Canonicalizer {
     // multiplied the shuffle volume by ~10x at a 10^5-name vocabulary;
     // embeddings join back onto the (much smaller) candidate pair set
     // for the exact verify.
+    // ONE shuffle of the banded rows: group each band to its full
+    // member list through the all-or-nothing collector (NULL = band
+    // over the hot-band cap -> dropped, same verdict as the former
+    // count-filter), then stream the k^2 within-band pairs with two
+    // Generate operators. The former shape (count agg + join-back +
+    // a×b self-join) shuffled the 16x-exploded band rows three times
+    // and paid four latency-bound exchanges per run.
     val banded0 = names.select(col("name_key"),
         explode(col("bands")).as("band"))
-    val banded = banded0.join(
-      banded0.groupBy("band").agg(count(lit(1)).as("band_n"))
-        .filter(col("band_n") <= maxBandSize)
-        .select("band"),
-      Seq("band"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val candPairs = a.join(b,
-        col("a.band") === col("b.band") &&
-          col("a.name_key") < col("b.name_key"))
-      .select(col("a.name_key").as("src"), col("b.name_key").as("dst"))
+    val bandMembers = banded0.groupBy("band")
+      .agg(BoundedAgg.allOrNothing(col("name_key"), maxBandSize).as("ms"))
+      .filter(col("ms").isNotNull)
+      .select("ms")
+    val candPairs = bandMembers
+      .select(explode(col("ms")).as("src"), col("ms"))
+      .select(col("src"), explode(col("ms")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst")
       .distinct()
     probe("candPairs")(System.err.println(
       s"[canon candPairs n] ${candPairs.count()} of ${names.count()} names"))
-    // embedding lookup: broadcast below an explicitly BYTE-budgeted row
-    // cap (names is checkpointed, count is cheap) — a sort-merge join
-    // here would sort the candidate stream twice; above the cap the
-    // shuffle join is the correct choice. The cap is sized from the row
-    // width, not borrowed from the (narrow two-column) name-map cap:
-    // each row carries a 64-float array ≈ 256 B data + JVM array/row
-    // overhead ≈ 600 B, so 100k rows ≈ 60 MB — comfortably inside
-    // driver/executor broadcast budgets where 625k rows (the former
-    // BroadcastNameMapMax/8) would have been 300-500 MB.
-    val embs0 = names.select(col("name_key"), col("embedding"))
-    val embs =
-      if (names.count() <= cfg.broadcastEmbeddingMax) broadcast(embs0)
-      else embs0
-    val candidates = candPairs
-      .join(embs.withColumnRenamed("name_key", "src")
-        .withColumnRenamed("embedding", "ea"), "src")
-      .join(embs.withColumnRenamed("name_key", "dst")
-        .withColumnRenamed("embedding", "eb"), "dst")
+    // embedding attach for the exact verify. The embedding is a CHEAP
+    // deterministic function of display_name (one hash-fold per
+    // character), so the verify needs only a (name_key, display_name)
+    // lookup — a NARROW two-column map:
+    //  - small vocabulary (row count within the name-map broadcast
+    //    budget — same width class): broadcast the display map twice
+    //    and recompute the embedding INLINE on the candidate pairs.
+    //    Zero extra exchanges — the alternative sort-merge joins cost
+    //    four latency-bound stages on a vocabulary-sized stream
+    //    (measured ~4 s fixed per run at 404k names regardless of
+    //    parallelism);
+    //  - web-scale vocabulary (above the budget): shuffle-join the
+    //    (name_key, embedding) form as before — the embed UDF runs
+    //    once per name per join side, still cheaper than shipping
+    //    every banded copy of the vector.
+    // Wider rows (the 64-float eager-embedding variant) kept their own
+    // byte-derived budget in cfg.broadcastEmbeddingMax; the narrow
+    // display map uses the name-map cap.
+    val nNames = names.count()
+    val candidates =
+      if (nNames <= cfg.broadcastNameMapMax) {
+        val disp = names.select(col("name_key"), col("display_name"))
+        candPairs
+          .join(broadcast(disp.withColumnRenamed("name_key", "src")
+            .withColumnRenamed("display_name", "da")), "src")
+          .join(broadcast(disp.withColumnRenamed("name_key", "dst")
+            .withColumnRenamed("display_name", "db")), "dst")
+          .withColumn("ea", embedUdf(col("da")))
+          .withColumn("eb", embedUdf(col("db")))
+      } else {
+        val embs0 = names.select(col("name_key"),
+          embedUdf(col("display_name")).as("embedding"))
+        val embs =
+          if (nNames <= cfg.broadcastEmbeddingMax) broadcast(embs0)
+          else embs0
+        candPairs
+          .join(embs.withColumnRenamed("name_key", "src")
+            .withColumnRenamed("embedding", "ea"), "src")
+          .join(embs.withColumnRenamed("name_key", "dst")
+            .withColumnRenamed("embedding", "eb"), "dst")
+      }
     // checkpointed: the verify join sits on the banding self-join; its
     // output (vocabulary-bounded edge list) feeds CC, the CC vertex
     // cover, and — through comps — both the entity agg and the name
@@ -394,13 +424,19 @@ object Canonicalizer {
     // metadata-ish job, not a recompute of the canonicalization DAG
     val small = nameMap.count() <= cfg.broadcastNameMapMax
     def side(m: DataFrame): DataFrame = if (small) broadcast(m) else m
-    val subjMap = side(nameMap
-      .select(col("entity_name").as("subj"), col("canonical_id").as("subj_id")))
-    val objMap = side(nameMap
-      .select(col("entity_name").as("obj"), col("canonical_id").as("obj_id")))
+    // ONE map subtree referenced by both endpoint joins: the two build
+    // sides are canonically identical plans, so ReuseExchange ships and
+    // builds the broadcast (or shuffle) ONCE — the previous per-endpoint
+    // projections (aliased to subj/obj) defeated exchange reuse and paid
+    // the driver-side broadcast build twice per run.
+    val bmap = side(nameMap.select(col("entity_name"), col("canonical_id")))
     triples
-      .join(subjMap, "subj")
-      .join(objMap, "obj")
+      .join(bmap, col("subj") === col("entity_name"))
+      .withColumnRenamed("canonical_id", "subj_id")
+      .drop("entity_name")
+      .join(bmap, col("obj") === col("entity_name"))
+      .withColumnRenamed("canonical_id", "obj_id")
+      .drop("entity_name")
       .filter(col("subj_id") =!= col("obj_id"))
       .withColumn("salt", pmod(xxhash64(col("chunkId")), lit(salts)))
       .groupBy("subj_id", "pred", "obj_id", "salt")

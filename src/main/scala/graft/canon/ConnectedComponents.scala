@@ -41,11 +41,19 @@ object ConnectedComponents {
     val spark = edgesIn.sparkSession
     import spark.implicits._
 
+    // NO distinct here: `min`/`least` aggregates are multiplicity-
+    // insensitive and the one end-of-round distinct (in the small-star
+    // output below) dedups everything a round emits — each removed
+    // intermediate distinct is a removed full-edge-list shuffle PER
+    // ROUND (3 of them at web scale), and on vocabulary-sized graphs
+    // the same exchanges are pure latency (~2 s/run measured at 248k
+    // edges, parallelism-independent). Volume stays bounded: the input
+    // edge set is deduped, so dup factor through a round is ≤ 2
+    // (symmetrize) times join fan-out on already-unique (src, dst).
     def symmetrize(e: DataFrame): DataFrame =
       e.select(col("src"), col("dst"))
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .filter(col("src") =!= col("dst"))
-        .distinct()
 
     // Single-job size gate: fetch up to localSolveMax+1 deduped edges.
     // On the small post-LSH entity graphs (every test/bench scale) this
@@ -85,13 +93,13 @@ object ConnectedComponents {
         .filter(col("u") > col("src"))  // v > u per the paper
         .select(col("u").as("src"), col("v").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
 
-      // --- small-star over edges oriented high -> low
+      // --- small-star over edges oriented high -> low (dups ride
+      // through: min() below ignores multiplicity, the round-end
+      // distinct dedups the attach rows)
       val oriented = large
         .select(greatest(col("src"), col("dst")).as("src"),
           least(col("src"), col("dst")).as("dst"))
-        .distinct()
       val minLow = oriented.groupBy("src").agg(min("dst").as("mn"))
       // attach every low neighbor and u itself to m = min(lows ∪ {u})
       val attachLows = oriented.join(minLow, "src")

@@ -75,16 +75,23 @@ object DedupOps {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val sh = wordShingles(docs, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val rare = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq && col("df") >= 2)
-        .select("shingle"),
-      Seq("shingle"))
-    val cands = rare.as("a")
-      .join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE shuffle of the shingle stream: each shingle groups to its full
+    // doc list through the all-or-nothing collector (NULL = df over the
+    // cap, the same verdict as the former df-count filter; O(cap) state
+    // per shingle), then the within-shingle pairs stream out of two
+    // Generate operators. The former df-agg + join-back + self-join
+    // shape shuffled the shingle stream three times. size >= 2 keeps
+    // the lossless df >= 2 side of the old filter.
+    val shingleDocs = sh.groupBy("shingle")
+      .agg(graft.canon.BoundedAgg.allOrNothingLong(col("doc_id"),
+        maxDocFreq.toInt).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .select("ds")
+    val cands = shingleDocs
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
     // exact verify over the FULL sets, candidates only: equi-joins
     // (cands x A-side shingles, then hash-join on (doc_b, shingle))
@@ -128,16 +135,20 @@ object DedupOps {
       }
     }.toDF("doc_id", "band")
     // hot-band guard (same rationale as Canonicalizer.MaxBandSize): a
-    // band shared by k docs costs k^2/2 join rows with ~no signal
-    val guarded = banded.join(
-      banded.groupBy("band").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= graft.canon.Canonicalizer.MaxBandSize)
-        .select("band"),
-      Seq("band"))
-    val cands = guarded.as("a")
-      .join(guarded.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // band shared by k docs costs k^2/2 join rows with ~no signal.
+    // Same one-shuffle member-collect shape as the canonicalizer's name
+    // banding: group each band to its doc list (NULL = over the cap ->
+    // dropped), stream pairs from two Generates.
+    val bandDocs = banded.groupBy("band")
+      .agg(graft.canon.BoundedAgg.allOrNothingLong(col("doc_id"),
+        graft.canon.Canonicalizer.MaxBandSize).as("ds"))
+      .filter(col("ds").isNotNull)
+      .select("ds")
+    val cands = bandDocs
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
     // exact verify on candidates only: per-doc distinct shingle sets
     val sets = wordShingles(docs, n)
