@@ -59,7 +59,13 @@ object MarkdownSplitter {
 
     val seps = headersToSplitOn.sortBy(-_.length)
     val out = Vector.newBuilder[Section]
-    var content = Vector.empty[String]
+    // section lines accumulate straight into one builder ('\n'-joined)
+    // instead of a Vector[String] + mkString per section — the join and
+    // the vector were ~18 GB of sampled garbage at 1M pages; `hasLines`
+    // preserves the content.nonEmpty flush gate (a section of one empty
+    // line must still flush — sb.length alone cannot tell them apart)
+    val content = new java.lang.StringBuilder
+    var hasLines = false
     var header = Header(0, "")
     var inCode = false
     var fence = ""
@@ -68,11 +74,18 @@ object MarkdownSplitter {
       if (chunkSize <= 0) Vector(s)
       else s.grouped(chunkSize).toVector
 
+    def addLine(l: String): Unit = {
+      if (hasLines) content.append('\n')
+      content.append(l)
+      hasLines = true
+    }
+
     def flush(): Unit = {
-      if (content.nonEmpty) {
-        val sectionText = content.mkString("\n").strip()
+      if (hasLines) {
+        val sectionText = content.toString.strip()
         slices(sectionText).foreach(c => out += Section(c, header))
-        content = Vector.empty
+        content.setLength(0)
+        hasLines = false
       }
     }
 
@@ -91,7 +104,7 @@ object MarkdownSplitter {
       }
 
       if (inCode) {
-        content :+= line
+        addLine(line)
       } else {
         val matched = seps.find(sep =>
           stripped.startsWith(sep) &&
@@ -101,9 +114,9 @@ object MarkdownSplitter {
             flush()
             val level = sep.count(_ == '#')
             header = Header(level, stripped.drop(sep.length).strip())
-            if (!stripHeaders) content :+= stripped + "\n"
+            if (!stripHeaders) addLine(stripped + "\n")
           case None =>
-            content :+= line
+            addLine(line)
         }
       }
     }

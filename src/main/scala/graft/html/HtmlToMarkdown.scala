@@ -71,22 +71,35 @@ object HtmlToMarkdown {
         val gt = html.indexOf('>', lt)
         if (gt < 0) { out += Text(html.substring(lt)); i = n }
         else {
-          val raw = html.substring(lt + 1, gt).trim
-          if (raw.startsWith("!--")) {
+          // tag parse by INDEX into html — the former substring+trim+
+          // drop chain allocated 3-4 intermediate strings per tag
+          // (~26 GB sampled at 1M pages). Trim semantics = String.trim
+          // (chars <= U+0020), applied at the same points as before.
+          var s = lt + 1
+          var e = gt
+          while (s < e && html.charAt(s) <= ' ') s += 1
+          while (e > s && html.charAt(e - 1) <= ' ') e -= 1
+          if (e - s >= 3 && html.charAt(s) == '!' &&
+              html.charAt(s + 1) == '-' && html.charAt(s + 2) == '-') {
             // comment: skip to -->
             val end = html.indexOf("-->", lt)
             i = if (end < 0) n else end + 3
-          } else if (raw.startsWith("/")) {
-            out += Close(raw.drop(1).trim.toLowerCase)
+          } else if (s < e && html.charAt(s) == '/') {
+            // close tag: name = raw.drop(1).trim (trailing already clean)
+            var cs = s + 1
+            while (cs < e && html.charAt(cs) <= ' ') cs += 1
+            out += Close(html.substring(cs, e).toLowerCase)
             i = gt + 1
-          } else if (raw.isEmpty) {
+          } else if (s == e) {
             i = gt + 1
           } else {
-            val selfClose = raw.endsWith("/")
-            val core = if (selfClose) raw.dropRight(1).trim else raw
-            val sp = core.indexWhere(Character.isWhitespace)
-            val name = (if (sp < 0) core else core.substring(0, sp)).toLowerCase
-            val attrsRaw = if (sp < 0) "" else core.substring(sp + 1)
+            val selfClose = html.charAt(e - 1) == '/'
+            var ce = if (selfClose) e - 1 else e // core = raw.dropRight(1).trim
+            while (ce > s && html.charAt(ce - 1) <= ' ') ce -= 1
+            var sp = s
+            while (sp < ce && !Character.isWhitespace(html.charAt(sp))) sp += 1
+            val name = html.substring(s, if (sp < ce) sp else ce).toLowerCase
+            val attrsRaw = if (sp < ce) html.substring(sp + 1, ce) else ""
             val void = name == "img" || name == "br" || name == "hr" || name == "meta" || name == "link" || name == "input"
             out += Open(name, attrsRaw, selfClose || void, selfClose)
             i = gt + 1
@@ -169,12 +182,18 @@ object HtmlToMarkdown {
   private def candidateSpans(toks: Vector[Tok]): Vector[(Int, Int, String)] = {
     val spans = Vector.newBuilder[(Int, Int, String)]
     val stack = mutable.Stack.empty[(String, Int)]
-    toks.zipWithIndex.foreach {
-      case (Open(nm, _, false, _), i) if blockTags(nm) => stack.push((nm, i))
-      case (Close(nm), i) if blockTags(nm) && stack.nonEmpty && stack.top._1 == nm =>
-        val (_, s) = stack.pop()
-        spans += ((s + 1, i, nm))
-      case _ =>
+    // indexed loop: zipWithIndex materialized a tuple Vector per page
+    // (~11 GB sampled at 1M pages — pure garbage on the hot parse path)
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Open(nm, _, false, _) if blockTags(nm) => stack.push((nm, i))
+        case Close(nm) if blockTags(nm) && stack.nonEmpty && stack.top._1 == nm =>
+          val (_, s) = stack.pop()
+          spans += ((s + 1, i, nm))
+        case _ =>
+      }
+      i += 1
     }
     spans.result()
   }
@@ -342,18 +361,24 @@ object HtmlToMarkdown {
       }
     }
     flushPara()
-    // group consecutive "* " items without blank lines between them
-    val merged = Vector.newBuilder[String]
-    var k = 0
+    // assemble in ONE builder: consecutive "* " items join with "\n"
+    // (list grouping), everything else with "\n\n" — byte-identical to
+    // the former group-then-mkString("\n\n") but without the merged
+    // Vector, the per-group drop/takeWhile copies, and the final join
+    // copy (~25 GB of sampled garbage at 1M pages)
     val bs = blocks.result()
+    val out = new java.lang.StringBuilder
+    var k = 0
+    var prevLi = false
     while (k < bs.length) {
-      if (bs(k).startsWith("* ")) {
-        val items = bs.drop(k).takeWhile(_.startsWith("* "))
-        merged += items.mkString("\n")
-        k += items.length
-      } else { merged += bs(k); k += 1 }
+      val b = bs(k)
+      val isLi = b.startsWith("* ")
+      if (k > 0) out.append(if (prevLi && isLi) "\n" else "\n\n")
+      out.append(b)
+      prevLi = isLi
+      k += 1
     }
-    merged.result().mkString("\n\n").strip()
+    out.toString.strip()
   }
 
   private def serializeOpen(o: Open): String = {
