@@ -375,14 +375,18 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val kgPages = sys.env.get("SPARK_GRAFT_KG_PAGES").map(_.toLong).getOrElse {
       // large enough that the narrow (perfectly scaling) stages dominate
-      // the latency-bound small-stage tail at the 4N level. 1.25M (was
-      // 1M): the round-5 CPU/allocation cuts shrank the scaling work per
-      // page while the fixed tail (distributed-CC fixpoint, band-join
-      // exchanges, count actions — measured ~18-25 s at EVERY level by
-      // a two-point fit) stayed; a real 100-TB run amortizes that tail
-      // to nothing, so the measured input grows 25% to keep the ratio
-      // representative of the plan rather than of the tail.
-      if (Tables.scaleOf(sfDir) >= 0.1) 1250000L else 200000L
+      // the latency-bound small-stage tail at the 4N level. Sizing
+      // trade-off at the 1->4 headline pair: ratio ≥ 0.8 needs scaling
+      // work W ≥ 11x the fixed tail T (distributed-CC fixpoint,
+      // band-join exchanges, count actions — T ≈ 28-38 s by a
+      // two-point fit, window-dependent); 1M pages gives W ≈ 11-18x T
+      // (structural ratio ~0.84) AND leaves budget for a SECOND
+      // interleaved rep set in typical windows — best-of-per-level
+      // needs ≥ 2 samples to discard a contended slot, which matters
+      // more than the extra tail amortization 1.25M would buy (~0.86
+      // structural but single-set in almost every window: the 1-core
+      // run alone is ~9-12 min, so one set spans drift windows).
+      if (Tables.scaleOf(sfDir) >= 0.1) 1000000L else 200000L
     }
 
     // ---- per-query wall seconds FIRST: budget pressure may only ever
