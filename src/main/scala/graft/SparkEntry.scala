@@ -53,6 +53,12 @@ object SparkEntry {
   private val kgCache = scala.collection.mutable
     .Map.empty[(SparkSession, String, GraftConfig), graft.pipeline.KGPipeline.Result]
 
+  /** Diagnostic accessor for BenchExtra plan dumps (check queries
+    * collect driver-side, so their query-map frames explain as
+    * LocalTableScan; this lets BenchExtra reach the inner plans). */
+  private[graft] def kgResult(s: SparkSession, d: String)
+      : graft.pipeline.KGPipeline.Result = kg(s, d)
+
   private def kg(s: SparkSession, d: String): graft.pipeline.KGPipeline.Result =
     kgCache.synchronized {
       kgCache.filterInPlace { case ((sess, _, _), _) =>
@@ -72,6 +78,15 @@ object SparkEntry {
           entities = r.entities.persist(),
           nameMap = r.nameMap.persist(),
           edges = r.edges.persist(),
+          // participates (explode + name-map join + distinct) and
+          // eventSimilar (the event-KNN LSH self-join) were the two
+          // UN-persisted result frames: kg_stats, kg_stats_written,
+          // kg_integrity, kg_participates and kg_event_similar each
+          // re-executed them from scratch (measured ~2-4 s per consumer
+          // at sf0.1 — guide §2.4, do not recompute what 5 consumers
+          // share)
+          participates = r.participates.persist(),
+          eventSimilar = r.eventSimilar.persist(),
           eventEdges = r.eventEdges.persist(),
           eventRels = r.eventRels.persist())
       })
@@ -366,25 +381,38 @@ object SparkEntry {
     *    (the E7 cleaning contract: endpoints are linkable entities).
     * The chunk text is the min_by(content_hash) survivor — the same
     * 8-hex-collision rule extract() stores results under. */
-  def kgEvidence(s: SparkSession, d: String): DataFrame = {
+  def kgEvidence(s: SparkSession, d: String): DataFrame =
+    kgEvidenceChecks(s, d).transform(withZeroAnchor)
+
+  /** The pre-anchor distributed check plan (the zero-anchored query
+    * collects driver-side, so it explains as LocalTableScan; BenchExtra
+    * dumps THIS plan — execution identical, the anchor only duplicates
+    * the collected rows). */
+  private[graft] def kgEvidenceChecks(s: SparkSession, d: String): DataFrame = {
     val r = kg(s, d)
     val normUdf = udf((c: String) => graft.extract.KnowledgeBase.normalize(c))
     val chs = r.chunks.toDF().groupBy("chunk_id")
       .agg(min_by(col("content"), col("content_hash")).as("content"))
       .select(col("chunk_id"), normUdf(col("content")).as("norm"))
     val m = r.mentions
+    // ONE distinct (chunk_id, entityName) subtree feeds BOTH endpoint
+    // checks via explicit join conditions: the former per-check renames
+    // (entityName -> subj / obj) made the two distincts distinct
+    // canonical plans, so the full mention-pair dedup shuffle ran twice
+    // per dump (guide §2.4 / ReuseExchange — same fix as integrity)
+    val mp = m.select(col("chunk_id"), col("entityName")).distinct()
     Seq(
       checkCount("mention_surface_not_in_chunk",
         m.join(chs, "chunk_id").filter(!col("norm").contains(col("surface")))),
       checkCount("triple_subj_not_mentioned",
-        r.triples.join(
-          m.select(col("chunk_id"), col("entityName").as("subj")).distinct(),
-          Seq("chunk_id", "subj"), "left_anti")),
+        r.triples.as("t").join(mp.as("mp"),
+          col("t.chunk_id") === col("mp.chunk_id") &&
+            col("t.subj") === col("mp.entityName"), "left_anti")),
       checkCount("triple_obj_not_mentioned",
-        r.triples.join(
-          m.select(col("chunk_id"), col("entityName").as("obj")).distinct(),
-          Seq("chunk_id", "obj"), "left_anti"))
-    ).reduce(_.unionByName(_)).transform(withZeroAnchor)
+        r.triples.as("t").join(mp.as("mp"),
+          col("t.chunk_id") === col("mp.chunk_id") &&
+            col("t.obj") === col("mp.entityName"), "left_anti"))
+    ).reduce(_.unionByName(_))
   }
 
   /** Identity-recipe invariants as (check_name, violations) rows — the
@@ -397,7 +425,11 @@ object SparkEntry {
     * event_id = chunkId + "_event_" + ord,
     * event_graphrag_neo4j.py:373-396) rather than echoing the engine's
     * own hash. Dangling checks pin extraction to surviving chunks. */
-  def kgIdentity(s: SparkSession, d: String): DataFrame = {
+  def kgIdentity(s: SparkSession, d: String): DataFrame =
+    kgIdentityChecks(s, d).transform(withZeroAnchor)
+
+  /** Pre-anchor distributed plan — see [[kgEvidenceChecks]]. */
+  private[graft] def kgIdentityChecks(s: SparkSession, d: String): DataFrame = {
     val r = kg(s, d)
     val chs = r.chunks.toDF()
     val chunkIds = chs.select("chunk_id").distinct()
@@ -415,7 +447,7 @@ object SparkEntry {
       checkCount("event_rel_chunk_dangling",
         r.eventRels.select("chunk_id")
           .join(chunkIds, Seq("chunk_id"), "left_anti"))
-    ).reduce(_.unionByName(_)).transform(withZeroAnchor)
+    ).reduce(_.unionByName(_))
   }
 
   /** The reference's golden extraction fixture

@@ -259,15 +259,21 @@ object Canonicalizer {
     // Wider rows (the 64-float eager-embedding variant) kept their own
     // byte-derived budget in cfg.broadcastEmbeddingMax; the narrow
     // display map uses the name-map cap.
+    // Both endpoint attaches reference ONE un-renamed lookup subtree and
+    // join with explicit conditions, so ReuseExchange builds/ships the
+    // broadcast (or the shuffle of the lookup side) ONCE per run — the
+    // former per-side withColumnRenamed made the two build plans
+    // distinct and paid the build twice (round-5 ADVICE finding; the
+    // same defect the triple-rewrite hunk fixed).
     val nNames = names.count()
     val candidates =
       if (nNames <= cfg.broadcastNameMapMax) {
-        val disp = names.select(col("name_key"), col("display_name"))
+        val disp = broadcast(names.select(col("name_key"), col("display_name")))
         candPairs
-          .join(broadcast(disp.withColumnRenamed("name_key", "src")
-            .withColumnRenamed("display_name", "da")), "src")
-          .join(broadcast(disp.withColumnRenamed("name_key", "dst")
-            .withColumnRenamed("display_name", "db")), "dst")
+          .join(disp, col("src") === col("name_key"))
+          .withColumnRenamed("display_name", "da").drop("name_key")
+          .join(disp, col("dst") === col("name_key"))
+          .withColumnRenamed("display_name", "db").drop("name_key")
           .withColumn("ea", embedUdf(col("da")))
           .withColumn("eb", embedUdf(col("db")))
       } else {
@@ -277,10 +283,10 @@ object Canonicalizer {
           if (nNames <= cfg.broadcastEmbeddingMax) broadcast(embs0)
           else embs0
         candPairs
-          .join(embs.withColumnRenamed("name_key", "src")
-            .withColumnRenamed("embedding", "ea"), "src")
-          .join(embs.withColumnRenamed("name_key", "dst")
-            .withColumnRenamed("embedding", "eb"), "dst")
+          .join(embs, col("src") === col("name_key"))
+          .withColumnRenamed("embedding", "ea").drop("name_key")
+          .join(embs, col("dst") === col("name_key"))
+          .withColumnRenamed("embedding", "eb").drop("name_key")
       }
     // checkpointed: the verify join sits on the banding self-join; its
     // output (vocabulary-bounded edge list) feeds CC, the CC vertex

@@ -78,29 +78,47 @@ object DedupOps {
     // ONE shuffle of the shingle stream: each shingle groups to its full
     // doc list through the all-or-nothing collector (NULL = df over the
     // cap, the same verdict as the former df-count filter; O(cap) state
-    // per shingle), then the within-shingle pairs stream out of two
-    // Generate operators. The former df-agg + join-back + self-join
-    // shape shuffled the shingle stream three times. size >= 2 keeps
-    // the lossless df >= 2 side of the old filter.
-    val shingleDocs = sh.groupBy("shingle")
+    // per shingle — math.min clamps a Long cap that would wrap negative
+    // and silently drop every shingle group). size >= 2 keeps the
+    // lossless df >= 2 side of the old filter.
+    val grouped = sh.groupBy("shingle")
       .agg(graft.canon.BoundedAgg.allOrNothingLong(col("doc_id"),
-        maxDocFreq.toInt).as("ds"))
+        math.min(maxDocFreq, Int.MaxValue.toLong).toInt).as("ds"))
+    val shingleDocs = grouped
       .filter(col("ds").isNotNull && size(col("ds")) >= 2)
       .select("ds")
-    val cands = shingleDocs
+    // The pair stream out of the two Generates enumerates EVERY
+    // sub-cap-shingle co-occurrence of a pair exactly once (shingle sets
+    // are distinct per doc), so grouping it counts the sub-cap part of
+    // the intersection directly — the former shape re-derived the same
+    // counts by joining the distinct candidate set back onto the FULL
+    // shingle table twice (measured ~59M join rows at sf0.1 for a 1.1M
+    // pair candidate set; guide §2.3 "aggregate before you shuffle").
+    val interRare = shingleDocs
       .select(explode(col("ds")).as("doc_a"), col("ds"))
       .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-    // exact verify over the FULL sets, candidates only: equi-joins
-    // (cands x A-side shingles, then hash-join on (doc_b, shingle))
-    val inter = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter_rare"))
+    // Shingles the cap DROPPED (ds IS NULL) are missing from that
+    // stream, yet the exact verify must count them too. Branch on their
+    // existence DRIVER-SIDE (one cheap agg over the cached shingles):
+    // in the common no-overflow case inter IS the grouped pair count —
+    // no verify join at all; with overflows, fall back to the full
+    // join-back verify (referencing interRare from a second lazy
+    // subtree would re-execute its whole explode+agg per reference).
+    val hasHot = !grouped.filter(col("ds").isNull).isEmpty
+    val inter =
+      if (!hasHot) interRare.withColumnRenamed("inter_rare", "inter")
+      else {
+        val cands = interRare.select("doc_a", "doc_b")
+        cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+            Seq("doc_b", "shingle"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("set_size", "size_a"), Seq("doc_a"))

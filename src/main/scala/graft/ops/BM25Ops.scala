@@ -78,11 +78,53 @@ object BM25Ops {
       .select("doc_id", "text")
   }
 
-  /** Okapi scoring over a prepared (doc_id, tok) stream. */
+  /** Lazy scoring plans for PlanSpec pins — the public entries collect
+    * their ≤ k rows (so callers can't accidentally re-run the corpus
+    * tokenization uncached), which would make their plans opaque
+    * LocalTableScans; the joins to pin live here. Leaves `toks` cached
+    * (test-scope use only). */
+  private[graft] def topKPlanForTest(spark: SparkSession, sfDir: String,
+      query: Seq[String] = Seq("spark", "join", "vector"),
+      k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    okapiRanked(spark, docs, tokens(docs).persist(), query, k)
+  }
+
+  private[graft] def topKZhPlanForTest(spark: SparkSession,
+      query: Seq[String] = Seq("蒸发器设计规范", "质量", "整改"),
+      k: Int = 20, nPages: Long = 400): DataFrame = {
+    val docs = zhCorpus(spark, nPages)
+    val toks = docs.select(col("doc_id"), explode(
+        regexp_extract_all(col("text"),
+          lit(graft.text.ZhTokenizer.pattern), lit(0))).as("tok"))
+      .filter(!col("tok").rlike("^[ \\t\\n\\x0B\\f\\r]$"))
+    okapiRanked(spark, docs, toks.persist(), query, k)
+  }
+
+  /** Okapi scoring over a prepared (doc_id, tok) stream. The ≤ k result
+    * rows are collected BEFORE the finally releases toks (driver-sized
+    * by construction): the returned frame was previously lazy, and the
+    * caller's later action re-ran the whole corpus tokenization
+    * UNCACHED once per consumer branch (tf + dl — measured ~4 s of pure
+    * recompute on the zh path, whose corpus is itself generated; same
+    * collect-then-localize discipline as writtenStats /
+    * withZeroAnchor). */
   private def okapiTopK(spark: SparkSession, docs: DataFrame,
       toks0: DataFrame, query: Seq[String], k: Int): DataFrame = {
     val toks = toks0.persist()
     try {
+      import spark.implicits._
+      val rows = okapiRanked(spark, docs, toks, query, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      rows.toSeq.toDF("doc_id", "rank", "score")
+    } finally toks.unpersist()
+  }
+
+  /** The lazy ranked plan over a CACHED token stream (factored out so
+    * PlanSpec keeps pinning the join strategy after the collect move). */
+  private def okapiRanked(spark: SparkSession, docs: DataFrame,
+      toks: DataFrame, query: Seq[String], k: Int): DataFrame = {
       val nDocs = docs.count().toDouble
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       // rank_bm25 semantics: avgdl = total token count / CORPUS size
@@ -132,7 +174,6 @@ object BM25Ops {
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("score"), asc("doc_id"))))
         .select("doc_id", "rank", "score")
-    } finally toks.unpersist()
   }
 
 }

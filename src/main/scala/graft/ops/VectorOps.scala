@@ -204,7 +204,14 @@ object VectorOps {
 
   private[ops] def ensureWrittenOnce(dir: String)(write: => Unit): Unit =
     durableWritten.synchronized {
-      if (!durableWritten.contains(dir)) { write; durableWritten += dir }
+      if (!durableWritten.contains(dir)) {
+        write
+        // pid-scoped index dirs otherwise strand ~100 MB in /tmp per
+        // invocation (round-5 verdict #4); deletion is deferred to JVM
+        // exit because probe DataFrames read the dir lazily all process
+        graft.TempDirs.register(dir)
+        durableWritten += dir
+      }
     }
 
   /** Driver-graded durable-LSH probe: write the bucket-partitioned
@@ -221,7 +228,25 @@ object VectorOps {
       .filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    annTopKLshFromIndex(spark, readLshBucketIndex(spark, dir), queries, k)
+    // Explicit partition-path read: resolve the probed bucket keys
+    // driver-side and list ONLY those <= nQueries x Tables directories
+    // instead of discovering all ~4096 partition dirs (a full
+    // InMemoryFileIndex listing per probe — pure planning overhead the
+    // probe result never needs; guide §6 file listing). basePath keeps
+    // the `bucket` partition column, so the frame is identical to the
+    // full read filtered to those buckets; FromIndex's isin filter
+    // still applies on top (a no-op here, load-bearing for callers that
+    // pass the full index).
+    val allKeys = queries.flatMap(q => HyperplaneLSH.tableKeys(q._2)).distinct
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val probeDirs = allKeys
+      .map(b => new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"))
+      .filter(fs.exists).map(_.toString)
+    val index =
+      if (probeDirs.isEmpty) readLshBucketIndex(spark, dir)
+      else spark.read.option("basePath", dir).parquet(probeDirs: _*)
+    annTopKLshFromIndex(spark, index, queries, k)
   }
 
   /** LSH-bucketed top-k for ONE external query vector (the dense

@@ -257,15 +257,25 @@ object KGPipeline {
     * representative map is vocabulary-bounded; n_sources counts the
     * chunk-level provenance the per-row MERGEs would have replayed. */
   def eventEdges(events: DataFrame, eventRels: DataFrame): DataFrame = {
-    val rep = events
-      .groupBy("content").agg(min("event_id").as("rep_id"))
-      .join(events.select(col("event_id"), col("content")), "content")
+    // Representative map keyed by md5(content) instead of the raw
+    // content: the event content strings are the widest column on the
+    // frame and the old groupBy(content) + join-back shipped them
+    // through both shuffles purely as a join key (guide §2.3 — shuffle
+    // keys, not payloads). Full-md5 equality is the repo's established
+    // deterministic stand-in for content equality (the G1/G2 chunk
+    // dedup key), so the grouping is unchanged.
+    val ev = events.select(col("event_id"), md5(col("content")).as("ch"))
+    val rep = ev.groupBy("ch").agg(min("event_id").as("rep_id"))
+      .join(ev, "ch")
       .select(col("event_id"), col("rep_id"))
+    // ONE un-renamed rep subtree for both endpoint joins (explicit
+    // conditions -> ReuseExchange computes the map once — same pattern
+    // as the triple rewrite and integrity)
     eventRels
-      .join(rep.withColumnRenamed("event_id", "head_event_id")
-        .withColumnRenamed("rep_id", "head_id"), "head_event_id")
-      .join(rep.withColumnRenamed("event_id", "tail_event_id")
-        .withColumnRenamed("rep_id", "tail_id"), "tail_event_id")
+      .join(rep, col("head_event_id") === col("event_id"))
+      .withColumnRenamed("rep_id", "head_id").drop("event_id")
+      .join(rep, col("tail_event_id") === col("event_id"))
+      .withColumnRenamed("rep_id", "tail_id").drop("event_id")
       .groupBy("head_id", "tail_id", "relation_type")
       .agg(min("description").as("description"),
         count(lit(1)).as("n_sources"))

@@ -93,11 +93,34 @@ object GraphSink {
     * (reference event_graphrag_neo4j.py:560-576 runs 13 count queries;
     * one grouped aggregate replaces them). */
   def stats(r: KGPipeline.Result): DataFrame = {
-    val n = nodes(r).groupBy(col("label").as("class")).count()
-      .withColumn("kind", lit("node"))
-    val e = edges(r).groupBy(col("edge_type").as("class")).count()
-      .withColumn("kind", lit("edge"))
-    n.unionByName(e).select("kind", "class", "count")
+    // Counts computed WITHOUT materializing the node/edge payload
+    // columns: the former nodes()/edges() group-counts shuffled the full
+    // chunk contents and six-way edge union just to count rows per
+    // class (guide §2.3 — shuffle keys, not payloads). Each aggregate
+    // below is by construction the row count of the corresponding
+    // nodes()/edges() class: Chunk nodes = one row per distinct
+    // chunk_id, MENTIONS = distinct (chunk, canonical) through the name
+    // map, every other class maps 1:1 onto its source frame. The
+    // count > 0 filter reproduces the old groupBy semantics exactly (an
+    // empty class emitted no row, not a zero row).
+    def cnt(kind: String, cls: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("count"))
+        .select(lit(kind).as("kind"), lit(cls).as("class"), col("count"))
+    val chunkIds = r.chunks.toDF().select("chunk_id").distinct()
+    val mentionsDst = r.mentions
+      .join(r.nameMap, r.mentions("entityName") === r.nameMap("entity_name"))
+      .select(col("chunk_id"), col("canonical_id")).distinct()
+    Seq(
+      cnt("node", "Chunk", chunkIds),
+      cnt("node", "Event", r.events),
+      cnt("node", "Entity", r.entities),
+      cnt("edge", "ENTITY_RELATION", r.edges),
+      cnt("edge", "CONTAINS", r.events),
+      cnt("edge", "MENTIONS", mentionsDst),
+      cnt("edge", "PARTICIPATES_IN", r.participates),
+      cnt("edge", "SIMILAR_TO", r.eventSimilar),
+      cnt("edge", "EVENT_RELATION", r.eventEdges)
+    ).reduce(_.unionByName(_)).filter(col("count") > 0)
   }
 
   /** Referential-integrity gate over the whole graph: every edge
@@ -108,36 +131,52 @@ object GraphSink {
     * or a Spark-vs-DuckDB join-semantics divergence both break the
     * correctness gate. */
   def integrity(r: KGPipeline.Result): DataFrame = {
-    val ents = r.entities.select(col("canonical_id"))
-    val evs = r.events.select(col("event_id"))
-    val chs = r.chunks.toDF().select(col("chunk_id")).distinct()
+    // Each small side is ONE un-renamed subtree per id space (ents 3x,
+    // evs 5x, chs 2x), joined with explicit conditions: the former
+    // per-check withColumnRenamed made every build side a distinct
+    // canonical plan, so each anti-join rebuilt (and re-shuffled or
+    // re-broadcast) it — ReuseExchange now builds each id set once for
+    // the whole 11-check union (guide §2.4; the same defect the
+    // round-5 triple-rewrite fix closed). Counts are unchanged: a
+    // left_anti on `a === b` is identical to the renamed
+    // Seq-column form.
+    // Row-count-gated broadcast (the broadcastNameMapMax discipline —
+    // same single-string-column width class): under the cap each id set
+    // broadcasts once and NONE of the edge/event/triple streams shuffles
+    // for its anti-join; past it (web-scale node tables) the joins fall
+    // back to sort-merge with the reused exchange. The counts are cheap
+    // actions over persisted frames.
+    val bcap = graft.GraftConfig.default.broadcastNameMapMax
+    def gated(df: DataFrame): DataFrame =
+      if (df.count() <= bcap) broadcast(df) else df
+    val ents = gated(r.entities.select(col("canonical_id")))
+    val evs = gated(r.events.select(col("event_id")))
+    val chs = gated(r.chunks.toDF().select(col("chunk_id")).distinct())
     def cnt(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("violations"))
         .select(lit(name).as("check_name"), col("violations"))
     Seq(
       cnt("edges_dangling_subj", r.edges.join(
-        ents.withColumnRenamed("canonical_id", "subj_id"), Seq("subj_id"), "left_anti")),
+        ents, col("subj_id") === col("canonical_id"), "left_anti")),
       cnt("edges_dangling_obj", r.edges.join(
-        ents.withColumnRenamed("canonical_id", "obj_id"), Seq("obj_id"), "left_anti")),
+        ents, col("obj_id") === col("canonical_id"), "left_anti")),
       cnt("participates_dangling_entity", r.participates.join(
         ents, Seq("canonical_id"), "left_anti")),
       cnt("participates_dangling_event", r.participates.join(
         evs, Seq("event_id"), "left_anti")),
       cnt("event_edges_dangling_head", r.eventEdges.join(
-        evs.withColumnRenamed("event_id", "head_id"), Seq("head_id"), "left_anti")),
+        evs, col("head_id") === col("event_id"), "left_anti")),
       cnt("event_edges_dangling_tail", r.eventEdges.join(
-        evs.withColumnRenamed("event_id", "tail_id"), Seq("tail_id"), "left_anti")),
+        evs, col("tail_id") === col("event_id"), "left_anti")),
       cnt("events_dangling_chunk", r.events.join(chs, Seq("chunk_id"), "left_anti")),
       cnt("triples_dangling_chunk", r.triples.join(chs, Seq("chunk_id"), "left_anti")),
       // pre-aggregation event relations must reference fired events
       // (E4 drops unknown endpoints — a dangling id here means the
       // extractor emitted a relation for an event it never emitted)
       cnt("event_rels_dangling_head", r.eventRels.join(
-        evs.withColumnRenamed("event_id", "head_event_id"),
-        Seq("head_event_id"), "left_anti")),
+        evs, col("head_event_id") === col("event_id"), "left_anti")),
       cnt("event_rels_dangling_tail", r.eventRels.join(
-        evs.withColumnRenamed("event_id", "tail_event_id"),
-        Seq("tail_event_id"), "left_anti")),
+        evs, col("tail_event_id") === col("event_id"), "left_anti")),
       // G4 identity contract: event_id = chunk_id + "_event_" + ord
       cnt("event_id_malformed", r.events.filter(
         !col("event_id").startsWith(concat(col("chunk_id"), lit("_event_")))))

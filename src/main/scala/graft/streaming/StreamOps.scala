@@ -103,20 +103,43 @@ object StreamOps {
     val input = MemoryStream[graft.pages.Page]
     val dir = java.nio.file.Files
       .createTempDirectory("graft_stream_replay").toString
-    val q = streamingExtract(input.toDS())
-      .writeStream.format("parquet")
-      .option("path", s"$dir/tbl")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .outputMode(OutputMode.Append).start()
+    graft.TempDirs.register(dir)
+    // The stateful dedup shuffles into spark.sql.shuffle.partitions
+    // STATE partitions, fixed at query start by the fresh checkpoint:
+    // at the session default (4x cores = 128) each of the two
+    // micro-batches pays 128 state-store inits + delta writes + sink
+    // files for a 400-page replay (measured ~25 s — almost entirely
+    // state/task overhead, guide §2.2: fewer, larger partitions). 8
+    // partitions carry the same rows; the consolidation result is
+    // content-determined either way. Restored in the finally so the
+    // batch session config is untouched for later queries.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val cut = nPages * 2 / 3
-      input.addData((0L until cut).map(graft.pages.PagesGenerator.page): _*)
-      q.processAllAvailable()
-      // re-crawl overlap (nPages/3 .. cut) + the new tail
-      input.addData(
-        (nPages / 3 until nPages).map(graft.pages.PagesGenerator.page): _*)
-      q.processAllAvailable()
-    } finally q.stop()
+      val q = streamingExtract(input.toDS())
+        .writeStream.format("parquet")
+        .option("path", s"$dir/tbl")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val cut = nPages * 2 / 3
+        input.addData((0L until cut).map(graft.pages.PagesGenerator.page): _*)
+        q.processAllAvailable()
+        // re-crawl overlap (nPages/3 .. cut) + the new tail
+        input.addData(
+          (nPages / 3 until nPages).map(graft.pages.PagesGenerator.page): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // the replay leaves HDFSBackedStateStore providers + their
+      // maintenance thread behind; after session stop they log
+      // "SparkEnv not active" stack traces into the driver log (round-5
+      // verdict #6). A later streaming query re-initializes providers
+      // on demand, so stopping here is safe.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case scala.util.control.NonFatal(_) => }
+    }
     graft.pipeline.KGPipeline.consolidate(spark.read.parquet(s"$dir/tbl"))
       .triples
   }

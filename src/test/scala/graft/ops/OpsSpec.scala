@@ -198,6 +198,45 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "zh query terms matched nothing")
   }
 
+  test("jaccard over-cap fallback: emitted pairs carry exact full-set jaccard") {
+    // r6 optimization: the no-overflow fast path counts intersections
+    // from the candidate pair stream itself; with a tiny df cap many
+    // shingles overflow and the full join-back verify must still count
+    // them. Pin: every emitted pair's inter/jaccard equals the true
+    // full-set value, and the emitted set is exactly {pairs sharing a
+    // sub-cap shingle with true J >= threshold} (the documented
+    // candidate-recall contract).
+    import spark.implicits._
+    val cap = 3L
+    val minJ = 0.25
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      (if (toks.size < 3) Seq.empty else toks.sliding(3).map(_.mkString(" ")).toSeq)
+        .filter(_.split(" ").length == 3).toSet
+    }
+    val sets = texts.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    assert(df.values.exists(_ > cap), "test needs over-cap shingles")
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      shared = sets(a) & sets(b)
+      if shared.exists(s => df(s) >= 2 && df(s) <= cap) // candidate rule
+      inter = shared.size
+      j = BigDecimal(inter.toDouble / (sets(a).size + sets(b).size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= minJ
+    } yield (a, b) -> (inter.toLong, j)).toMap
+    val got = DedupOps.jaccardPairs(spark, sf0001, minJaccard = minJ,
+        maxDocFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    assert(got.nonEmpty, "over-cap fallback path produced no pairs")
+  }
+
   test("minhash LSH pairs equal exact jaccard pairs at the threshold") {
     val lsh = DedupOps.minhashLshPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -72,7 +72,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("zh BM25 scoring joins stay broadcast on the query/idf side") {
-    val p = plan(BM25Ops.topKZh(spark, nPages = 50))
+    // the public entries collect their <= k rows (r6: the lazy frame
+    // re-ran the corpus tokenization uncached per consumer branch), so
+    // the pins target the factored-out lazy scoring plan they execute
+    val p = plan(BM25Ops.topKZhPlanForTest(spark, nPages = 50))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
@@ -83,7 +86,7 @@ class PlanSpec extends SparkSpec {
     // side is then <= |query| rows, never the corpus-vocabulary aggregate
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    val df = BM25Ops.topK(spark, sf0001)
+    val df = BM25Ops.topKPlanForTest(spark, sf0001)
     val builds = df.queryExecution.sparkPlan.collect {
       case j: BroadcastHashJoinExec =>
         j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
