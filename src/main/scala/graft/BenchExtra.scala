@@ -88,7 +88,10 @@ object BenchExtra {
           "kg_alias_closure" -> ((s, d) =>
             graft.sink.GraphSink.aliasClosure(SparkEntry.kgResult(s, d))),
           "kg_evidence" -> ((s, d) => SparkEntry.kgEvidenceChecks(s, d)),
-          "kg_identity" -> ((s, d) => SparkEntry.kgIdentityChecks(s, d)))
+          "kg_identity" -> ((s, d) => SparkEntry.kgIdentityChecks(s, d)),
+          // public entry collects its <= k rows; the executed scoring
+          // plan is the factored-out lazy form
+          "bm25_topk" -> ((s, d) => graft.ops.BM25Ops.topKPlanForTest(s, d)))
         names.foreach { n =>
           val df = inner.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
           val plan = df.queryExecution.explainString(
