@@ -298,7 +298,16 @@ object KGPipeline {
 
   def run(spark: SparkSession, nPages: Long, partitions: Int = 32,
       cfg: graft.GraftConfig = graft.GraftConfig.default): Result =
-    runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions), cfg = cfg)
+    // Generated pages carry text ≡ HtmlToMarkdown(html) by construction
+    // (PagesGenerator.page runs the REAL S1 parser to fill the text
+    // column), so chunking from text here skips a second identical
+    // parse of every page — the parse still executes exactly once per
+    // page, inside the generator map, and the chunk output is
+    // bit-identical (pinned by PipelineSpec). The external-pages path
+    // (runOnPages default, the bench scaling children over the parquet
+    // pages table) keeps fromHtml = true.
+    runOnPages(spark, PagesGenerator.pages(spark, nPages, partitions),
+      fromHtml = false, cfg = cfg)
 
   /** Same DAG over an externally supplied pages table (the real job
     * shape: spark.read over the Iceberg/parquet pages table). */

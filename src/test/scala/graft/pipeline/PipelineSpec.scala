@@ -22,6 +22,20 @@ class PipelineSpec extends SparkSpec {
     df.select(cols: _*).collect().map(_.toString).sorted.toSeq
   }
 
+  test("chunking generated pages from text equals chunking from html") {
+    // the r6 run() optimization rests on this invariant: generated
+    // pages carry text ≡ HtmlToMarkdown(html), so the fromHtml=false
+    // chunk path (one parse per page, in the generator) must be
+    // bit-identical to re-parsing the html a second time
+    val pages = graft.pages.PagesGenerator.pages(spark, 200, 4)
+    val fromHtml = KGPipeline.chunk(pages, fromHtml = true).collect()
+      .map(_.toString).sorted.toSeq
+    val fromText = KGPipeline.chunk(pages, fromHtml = false).collect()
+      .map(_.toString).sorted.toSeq
+    assert(fromHtml == fromText)
+    assert(fromHtml.nonEmpty)
+  }
+
   test("pipeline is deterministic under different parallelism") {
     val a = KGPipeline.run(spark, 150, partitions = 3)
     val b = KGPipeline.run(spark, 150, partitions = 7)
